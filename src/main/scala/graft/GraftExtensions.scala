@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.url.{CanonicalizeUrl, UrlHost}
+
+/**
+ * SparkSessionExtensions entry point — registers the engine's native
+ * Catalyst expressions so they are callable from SQL and from
+ * `functions.call_function`. Activate with
+ * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+ * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("canonicalize_url"),
+        new ExpressionInfo(classOf[CanonicalizeUrl].getName, "canonicalize_url"),
+        (args: Seq[Expression]) => CanonicalizeUrl(args.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("url_host"),
+        new ExpressionInfo(classOf[UrlHost].getName, "url_host"),
+        (args: Seq[Expression]) => UrlHost(args.head)))
+  }
+}

@@ -1,0 +1,246 @@
+package graft.url
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * URL parsing, RFC-3986 resolution, browser-style absolutization and the
+ * canonical form that defines crawl identity.
+ *
+ * Reference semantics reproduced (see /root/reference):
+ *  - `sspider/libs/utils.py:24-26` (`get_domain_from_url` = netloc)
+ *  - `sspider/libs/url.py:59-67` (`quote_chinese`: bytes >= 0x80 -> %XX)
+ *  - `sspider/libs/url.py:26-56` (`_build_url`: default path "/")
+ *  - browser `a.href` absolutization used by the phantomjs extractors
+ *    (`sspider/fetcher/phantomjs/extractors.js:289-297`): resolve against the
+ *    page url, lowercase scheme/host, strip default port, percent-encode
+ *    non-ASCII as UTF-8.
+ *
+ * The canonical form (crawl identity, per BASELINE.json north_rule) extends
+ * this with: strip fragment, sort query parameters, remove dot segments.
+ * Identity is then `xxhash64(canonicalize(url))` (built-in, codegen'd).
+ *
+ * Everything here is pure, allocation-light and usable from both plain Scala
+ * and Catalyst expressions (see [[CanonicalizeUrl]]).
+ */
+object UrlCanon {
+
+  /** Parsed absolute URL. `port == -1` means "absent". */
+  final case class Parsed(
+      scheme: String,
+      userinfo: String,
+      host: String,
+      port: Int,
+      path: String,
+      query: String, // without '?', "" if absent
+      fragment: String // without '#', "" if absent
+  )
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):".r
+
+  /** Parse an absolute hierarchical URL. Returns None when there is no scheme. */
+  def parse(url0: String): Option[Parsed] = {
+    val url = url0.trim
+    SchemeRe.findFirstMatchIn(url) match {
+      case None => None
+      case Some(m) =>
+        val scheme = m.group(1).toLowerCase
+        var rest = url.substring(m.end)
+        var userinfo = ""
+        var host = ""
+        var port = -1
+        if (rest.startsWith("//")) {
+          rest = rest.substring(2)
+          val end = indexOfAny(rest, "/?#")
+          val auth = if (end < 0) rest else rest.substring(0, end)
+          rest = if (end < 0) "" else rest.substring(end)
+          var hp = auth
+          val at = auth.lastIndexOf('@')
+          if (at >= 0) { userinfo = auth.substring(0, at); hp = auth.substring(at + 1) }
+          if (hp.startsWith("[")) { // IPv6
+            val close = hp.indexOf(']')
+            if (close >= 0) {
+              host = hp.substring(0, close + 1).toLowerCase
+              val after = hp.substring(close + 1)
+              if (after.startsWith(":")) port = parsePort(after.substring(1))
+            } else host = hp.toLowerCase
+          } else {
+            val colon = hp.lastIndexOf(':')
+            if (colon >= 0) { host = hp.substring(0, colon).toLowerCase; port = parsePort(hp.substring(colon + 1)) }
+            else host = hp.toLowerCase
+          }
+        }
+        val hashAt = rest.indexOf('#')
+        val fragment = if (hashAt >= 0) rest.substring(hashAt + 1) else ""
+        if (hashAt >= 0) rest = rest.substring(0, hashAt)
+        val qAt = rest.indexOf('?')
+        val query = if (qAt >= 0) rest.substring(qAt + 1) else ""
+        val path = if (qAt >= 0) rest.substring(0, qAt) else rest
+        Some(Parsed(scheme, userinfo, host, port, path, query, fragment))
+    }
+  }
+
+  private def parsePort(s: String): Int =
+    try { if (s.isEmpty) -1 else s.toInt } catch { case _: NumberFormatException => -1 }
+
+  private def indexOfAny(s: String, chars: String): Int = {
+    var i = 0
+    while (i < s.length) { if (chars.indexOf(s.charAt(i)) >= 0) return i; i += 1 }
+    -1
+  }
+
+  /** netloc as the reference's `get_domain_from_url` (host[:port], no case change there;
+    * we return the already-lowercased host[:port] of the canonical form). */
+  def hostOf(url: String): String = parse(url) match {
+    case Some(p) => if (p.port >= 0) s"${p.host}:${p.port}" else p.host
+    case None => ""
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  def removeDotSegments(path: String): String = {
+    val out = new java.util.ArrayDeque[String]()
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); if (!out.isEmpty) out.removeLast() }
+      else if (in == "/..") { in = "/"; if (!out.isEmpty) out.removeLast() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', start)
+        val seg = if (next < 0) in else in.substring(0, next)
+        in = if (next < 0) "" else in.substring(next)
+        out.addLast(seg)
+      }
+    }
+    val sb = new StringBuilder
+    out.forEach(s => sb.append(s))
+    sb.toString
+  }
+
+  /** RFC 3986 §5.3 reference resolution (base must be absolute). */
+  def resolve(base: String, ref0: String): String = {
+    val ref = ref0.trim
+    if (SchemeRe.findFirstMatchIn(ref).isDefined) return ref
+    parse(base) match {
+      case None => ref
+      case Some(b) =>
+        val authority = {
+          val hp = if (b.port >= 0) s"${b.host}:${b.port}" else b.host
+          if (b.userinfo.nonEmpty) s"${b.userinfo}@$hp" else hp
+        }
+        if (ref.startsWith("//")) return s"${b.scheme}:$ref"
+        val (refPathQF, frag) = {
+          val h = ref.indexOf('#')
+          if (h >= 0) (ref.substring(0, h), ref.substring(h)) else (ref, "")
+        }
+        val (refPath, query) = {
+          val q = refPathQF.indexOf('?')
+          if (q >= 0) (refPathQF.substring(0, q), refPathQF.substring(q)) else (refPathQF, "")
+        }
+        val mergedPath =
+          if (refPath.isEmpty) b.path
+          else if (refPath.startsWith("/")) removeDotSegments(refPath)
+          else {
+            val basePath =
+              if (authority.nonEmpty && b.path.isEmpty) "/"
+              else b.path.substring(0, b.path.lastIndexOf('/') + 1)
+            removeDotSegments(basePath + refPath)
+          }
+        val q2 = if (refPath.isEmpty && query.isEmpty) { // keep base query for bare-fragment refs
+          if (b.query.nonEmpty) "?" + b.query else ""
+        } else query
+        s"${b.scheme}://$authority$mergedPath$q2$frag"
+    }
+  }
+
+  /** JS-`encodeURIComponent` (extractors.js form serialization): unreserved =
+    * A-Za-z0-9 - _ . ! ~ * ' ( ) ; everything else %XX over UTF-8 bytes. */
+  def encodeUriComponent(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        "-_.!~*'()".indexOf(c) >= 0) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Percent-encode the bytes a browser encodes when reading back `a.href`:
+    * non-ASCII (reference `quote_chinese`, url.py:59-67), spaces, control
+    * chars, `"<>`` and backslash. Existing '%' left untouched (no double
+    * encoding of already-encoded input). */
+  def encodeHrefBytes(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val i = b & 0xff
+      if (i >= 0x80 || i <= 0x20 || i == 0x7f || "\"<>`\\".indexOf(i.toChar) >= 0)
+        sb.append(f"%%$i%02X")
+      else sb.append(i.toChar)
+    }
+    sb.toString
+  }
+
+  private def isDefaultPort(scheme: String, port: Int): Boolean =
+    (scheme == "http" && port == 80) || (scheme == "https" && port == 443) ||
+      (scheme == "ftp" && port == 21) || (scheme == "ws" && port == 80) ||
+      (scheme == "wss" && port == 443)
+
+  /**
+   * Browser-`a.href`-style absolutization: resolve `ref` against `base`,
+   * percent-encode stray bytes, lowercase scheme+host, strip default port.
+   * Fragment is KEPT (browsers keep it; extraction fidelity). Returns None
+   * for non-navigation schemes (javascript:, mailto:, data:, about:).
+   */
+  def absolutize(base: String, ref: String): Option[String] = {
+    val abs = resolve(base, ref)
+    parse(abs) match {
+      case None => None
+      case Some(p) =>
+        if (p.scheme != "http" && p.scheme != "https" && p.scheme != "ftp") None
+        else Some(rebuild(p, keepFragment = true, sortQuery = false))
+    }
+  }
+
+  /**
+   * Canonical crawl identity (north_rule): lowercase scheme/host, strip
+   * fragment + default port, remove dot segments, default path "/",
+   * percent-encode non-ASCII, sort query params (byte order, duplicates
+   * kept), drop empty query tokens. Idempotent.
+   */
+  def canonicalize(url: String): String = parse(url) match {
+    case None => url.trim
+    case Some(p) => rebuild(p, keepFragment = false, sortQuery = true)
+  }
+
+  private def rebuild(p: Parsed, keepFragment: Boolean, sortQuery: Boolean): String = {
+    val sb = new StringBuilder(64)
+    sb.append(p.scheme).append("://")
+    if (p.userinfo.nonEmpty) sb.append(p.userinfo).append('@')
+    sb.append(p.host)
+    if (p.port >= 0 && !isDefaultPort(p.scheme, p.port)) sb.append(':').append(p.port)
+    val rawPath = if (p.path.isEmpty) "/" else removeDotSegments(p.path)
+    sb.append(encodeHrefBytes(if (rawPath.isEmpty) "/" else rawPath))
+    val q = encodeHrefBytes(p.query)
+    if (q.nonEmpty) {
+      val tokens0 = q.split("&", -1).toSeq.filter(_.nonEmpty)
+      val tokens = if (sortQuery) tokens0.sorted else tokens0
+      if (tokens.nonEmpty) sb.append('?').append(tokens.mkString("&"))
+      else if (!sortQuery) sb.append('?') // browser keeps a bare '?'... it does not; drop
+    }
+    if (keepFragment && p.fragment.nonEmpty) sb.append('#').append(encodeHrefBytes(p.fragment))
+    sb.toString
+  }
+
+  /** UTF8String bridge for codegen (see [[CanonicalizeUrl]]). */
+  def canonUTF8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (u == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(canonicalize(u.toString))
+
+  def hostUTF8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (u == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(hostOf(u.toString))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextStats
+import graft.dedup.MinHash
+import graft.ann.Vectors
+
+class TextOpsSpec extends AnyFunSuite {
+
+  test("token counts") {
+    assert(TextStats.tokenCountWs("the quick  brown fox") == 4)
+    assert(TextStats.tokenCountWs("") == 0)
+    assert(TextStats.tokenCountBpe("I'll go, twice!") > 4) // contraction + punctuation split
+  }
+
+  test("langId heuristics") {
+    assert(TextStats.langId("the cat sat on the mat and it is a cat") == "en")
+    assert(TextStats.langId("der Hund und die Katze ist ein Tier") == "de")
+    assert(TextStats.langId("le chat est dans la maison et il est pour") == "fr")
+    assert(TextStats.langId("el perro y la casa es una cosa que no es para") == "es")
+    assert(TextStats.langId("这是一个中文句子，包含很多汉字内容") == "zh")
+    assert(TextStats.langId("") == "und")
+  }
+
+  test("qualityScore deterministic, bounded and monotone-ish") {
+    val good = "The quick brown fox jumps over the lazy dog and it is a fine day in the park with friends."
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((()))) @@@@ $$$$"
+    val qGood = TextStats.qualityScore(good)
+    val qJunk = TextStats.qualityScore(junk)
+    assert(qGood > qJunk)
+    assert(qGood >= 0.0 && qGood <= 1.0)
+    assert(TextStats.qualityScore(good) == qGood) // deterministic
+  }
+
+  test("fingerprint64 is whitespace/case normalized") {
+    assert(TextStats.fingerprint64("Hello   World") == TextStats.fingerprint64("hello world"))
+    assert(TextStats.fingerprint64("hello world") != TextStats.fingerprint64("hello worlds"))
+  }
+
+  test("shingles and exact jaccard") {
+    assert(MinHash.shingles("a b c d", 3).toSeq == Seq("a b c", "b c d"))
+    assert(MinHash.shingles("a b", 3).toSeq == Seq("a b"))
+    assert(MinHash.ngramJaccard("a b c d e", "a b c d e", 3) == 1.0)
+    assert(MinHash.ngramJaccard("a b c d e", "x y z w v", 3) == 0.0)
+  }
+
+  test("minhash signature estimates jaccard") {
+    val t1 = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 80).map(i => s"tok$i").mkString(" ") + " " + (101 to 121).map(i => s"tok$i").mkString(" ")
+    val s1 = MinHash.signature(t1, 3, 128)
+    val s2 = MinHash.signature(t2, 3, 128)
+    val est = MinHash.estJaccard(s1, s2)
+    val exact = MinHash.ngramJaccard(t1, t2, 3)
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+    // identical docs share all band keys
+    assert(MinHash.bandKeys(s1, 16).toSeq == MinHash.bandKeys(MinHash.signature(t1, 3, 128), 16).toSeq)
+    // dissimilar docs share no band key
+    val s3 = MinHash.signature((200 to 300).map(i => s"z$i").mkString(" "), 3, 128)
+    assert(MinHash.bandKeys(s1, 16).toSet.intersect(MinHash.bandKeys(s3, 16).toSet).isEmpty)
+  }
+
+  test("simhash near-dup has small hamming distance") {
+    val a = (1 to 60).map(i => s"w$i").mkString(" ")
+    val b = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val c = (100 to 160).map(i => s"q$i").mkString(" ")
+    assert(MinHash.hamming64(MinHash.simhash64(a), MinHash.simhash64(b)) <
+      MinHash.hamming64(MinHash.simhash64(a), MinHash.simhash64(c)))
+  }
+
+  test("cosine + lsh buckets") {
+    val v1 = Seq(1f, 0f, 0f)
+    val v2 = Seq(1f, 0.1f, 0f)
+    val v3 = Seq(0f, 0f, 1f)
+    assert(Vectors.cosine(v1, v1) > 0.999)
+    assert(Vectors.cosine(v1, v2) > Vectors.cosine(v1, v3))
+    val k1 = Vectors.lshKey(v1, 8, 42L)
+    assert(k1 == Vectors.lshKey(v1, 8, 42L)) // deterministic
+    assert(Vectors.lshProbes(k1, 8).length == 9)
+  }
+}
