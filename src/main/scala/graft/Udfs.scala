@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
+import graft.text.{Encoding, HtmlScanner, Robots, TextStats}
+import graft.dedup.MinHash
+import graft.ann.Vectors
+
+/**
+ * Scala-UDF surface of the engine (tier-1 per SURVEY.md §2.11; the URL hot
+ * path has codegen'd native expressions instead — graft.url.UrlExpressions).
+ * Registered once per session; everything is deterministic.
+ */
+object Udfs {
+
+  /** One follow candidate produced by extraction (SURVEY §2.9 P6). */
+  final case class Follow(url: String, method: String, data: String, text: String)
+
+  /** Static page extraction -> follow candidates, already absolutized but NOT
+    * yet canonicalized/filtered (same-domain filter F7 happens relationally). */
+  def extractFollows(html: String, baseUrl: String): Array[Follow] = {
+    if (html == null || baseUrl == null) return Array.empty
+    val ex = HtmlScanner.extract(html, baseUrl)
+    val links = ex.links.iterator.map(l => Follow(l.url, "link", "", l.text))
+    val forms = ex.forms.iterator.map(f => Follow(f.url, f.method, f.data, ""))
+    (links ++ forms).toArray
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("extract_text",
+      (html: Array[Byte]) => Encoding.extractText(html, null))
+    u.register("extract_text_ct",
+      (html: Array[Byte], ct: String) => Encoding.extractText(html, ct))
+    u.register("extract_follows",
+      (html: String, base: String) => extractFollows(html, base))
+    u.register("robots_can_fetch",
+      (robotsTxt: String, ua: String, path: String) =>
+        if (robotsTxt == null) true else Robots.canFetch(robotsTxt, ua, path))
+    u.register("lang_id", (t: String) => TextStats.langId(t))
+    u.register("quality_score", (t: String) => TextStats.qualityScore(t))
+    u.register("token_count_ws", (t: String) => TextStats.tokenCountWs(t))
+    u.register("token_count_bpe", (t: String) => TextStats.tokenCountBpe(t))
+    u.register("fingerprint64", (t: String) => TextStats.fingerprint64(t))
+    u.register("simhash64", (t: String) => MinHash.simhash64(t))
+    u.register("hamming64", (a: Long, b: Long) => MinHash.hamming64(a, b))
+    u.register("minhash_sig",
+      (t: String, k: Int, perm: Int) => MinHash.signature(t, k, perm))
+    u.register("minhash_bands",
+      (sig: Seq[Long], bands: Int) => MinHash.bandKeys(sig.toArray, bands))
+    u.register("ngram_jaccard",
+      (a: String, b: String, k: Int) => MinHash.ngramJaccard(a, b, k))
+    u.register("cosine_sim",
+      (a: Seq[Float], b: Seq[Float]) => Vectors.cosine(a, b))
+    u.register("lsh_key",
+      (v: Seq[Float], planes: Int, seed: Long) => Vectors.lshKey(v, planes, seed))
+    u.register("lsh_probes",
+      (key: Int, planes: Int) => Vectors.lshProbes(key, planes))
+  }
+
+  /** Session factory used by mains/tests: graft extensions + UDFs + sane
+    * local-mode scale defaults (AQE on, shuffle partitions = cores). */
+  def newSession(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    register(spark)
+    spark
+  }
+}

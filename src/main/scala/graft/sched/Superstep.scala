@@ -1,0 +1,284 @@
+package graft.sched
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model.TaskStatus
+
+/**
+ * One deterministic crawl superstep over the frontier Dataset — the
+ * Spark-native replacement for the reference's queue-wired component loop
+ * (SURVEY.md §2.10/§4). All reference semantics are expressed relationally:
+ *
+ *   ready filter (W2) -> politeness budget (A7) -> priority ranking (W1)
+ *   -> fair share (W5) -> fetch join (J2) -> robots gate (F9) -> extraction
+ *   (P1/P2/P4/P6) -> same-domain filter (F7) -> in-batch merge (W4/F3)
+ *   -> URL-seen anti-join (J1, bloom-prefiltered) -> retry/status merge (W7)
+ *   -> result sink rows (F8/P8)
+ *
+ * `now` is ONE literal per superstep (determinism, SURVEY §7.0-4). Ordering
+ * ties break by ascending url_hash (documented deviation §7.0-2).
+ */
+object Superstep {
+
+  final case class Config(
+      userAgent: String = "graftbot/1.0",
+      defaultRate: Double = 1.0,
+      defaultBurst: Double = 3.0,
+      /** ≤0 disables the per-project fair-share cap (scheduler.py:331). */
+      perProjectLimit: Int = 0,
+      respectRobots: Boolean = true,
+      /** retry ladder, scheduler.py:80-86. */
+      retryDelays: Seq[Double] = Seq(30, 3600, 21600, 43200),
+      retryDefault: Double = 86400,
+      /** broadcast the robots side of the gate join (small host count). */
+      broadcastRobots: Boolean = true)
+
+  final case class StepResult(
+      frontier: DataFrame,
+      budgets: DataFrame,
+      newResults: DataFrame,
+      counters: DataFrame,
+      scheduled: Long,
+      fresh: Long,
+      /** intermediate persisted frames — caller unpersists after materializing */
+      cached: Seq[DataFrame] = Nil) {
+    def unpersistAll(): Unit = cached.foreach(_.unpersist(false))
+  }
+
+  /** Columns every frontier DataFrame carries (graft.model.Task flattened). */
+  val frontierCols: Seq[String] = Seq("project", "url_hash", "url", "host", "status",
+    "priority", "exetime", "retries", "retried", "age", "itag", "force_update",
+    "auto_recrawl", "cancel", "seed_url", "method", "data", "lastcrawltime", "updatetime")
+
+  /** Pages side of the fetch join, prepared ONCE per crawl: canonical key +
+    * xxhash64 identity, bucket-partitioned by the join key so every
+    * superstep's sort-merge/shuffle-hash join sees a stable layout. */
+  def preparePages(spark: SparkSession, pages: DataFrame): (DataFrame, DataFrame) = {
+    val canon = expr("canonicalize_url(url)")
+    val withKeys = pages
+      .withColumn("curl", canon)
+      .withColumn("page_hash", xxhash64(col("curl")))
+      .withColumn("page_host", expr("url_host(curl)"))
+    val robots = withKeys
+      .filter(expr("parse_url(curl, 'PATH')") === "/robots.txt")
+      .select(col("page_host").as("host"), expr("extract_text(html)").as("robots_txt"))
+    val content = withKeys
+      .filter(expr("parse_url(curl, 'PATH')") =!= "/robots.txt")
+      .select(col("page_hash"), col("curl").as("page_url"), col("html"))
+      // first capture wins on duplicate canonical urls (deterministic by hash of bytes)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("page_hash")).orderBy(xxhash64(col("html")).asc)))
+      .where(col("rn") === 1).drop("rn")
+    (content, robots)
+  }
+
+  private def ladder(cfg: Config)(retried: Column): Column =
+    cfg.retryDelays.zipWithIndex.foldLeft(lit(cfg.retryDefault)) { case (acc, (d, i)) =>
+      when(retried === i, lit(d)).otherwise(acc)
+    }
+
+  /**
+   * Execute one superstep.
+   *
+   * @param frontier  current frontier (frontierCols schema)
+   * @param budgets   politeness state: project, host, tokens, last_update
+   * @param pagesIdx  prepared page content (preparePages._1)
+   * @param robots    prepared robots table (preparePages._2)
+   * @param projects  project dimension: name, rate, burst (broadcast side)
+   * @param seenMightContain optional bloom pre-filter over url_hash: follows
+   *   failing it are definitely-new and skip the exact anti-join probe.
+   */
+  def run(spark: SparkSession, frontier: DataFrame, budgets: DataFrame,
+      pagesIdx: DataFrame, robots: DataFrame, projects: DataFrame,
+      now: Double, cfg: Config = Config(),
+      seenMightContain: Option[Column => Column] = None): StepResult = {
+    import spark.implicits._
+
+    // ---- W2: ready = exetime arrived (time queue folds into the filter)
+    val ready = frontier
+      .where($"status" === TaskStatus.Active && $"exetime" <= now)
+
+    // ---- A7: politeness budgets per (project, host) — token bucket carried
+    // as state; missing state = full bucket (token_bucket.py:32)
+    val demand = ready.groupBy($"project", $"host").agg(count(lit(1)).as("demand"))
+    val budgeted = demand
+      .join(budgets, Seq("project", "host"), "left_outer")
+      .join(broadcast(projects.select($"name".as("project"),
+        coalesce($"rate", lit(cfg.defaultRate)).as("rate"),
+        coalesce($"burst", lit(cfg.defaultBurst)).as("burst"))), Seq("project"), "left_outer")
+      .withColumn("rate", coalesce($"rate", lit(cfg.defaultRate)))
+      .withColumn("burst", coalesce($"burst", lit(cfg.defaultBurst)))
+      .withColumn("tokens_avail",
+        when($"tokens".isNull, $"burst")
+          .otherwise(least($"burst", $"tokens" + $"rate" * (lit(now) - $"last_update"))))
+      .withColumn("allowed", floor($"tokens_avail"))
+      .select($"project", $"host", $"rate", $"burst", $"tokens_avail", $"allowed")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- W1 (+W5): ranked selection under the budget
+    val hostW = Window.partitionBy($"project", $"host")
+      .orderBy($"priority".desc, $"exetime".asc, $"url_hash".asc)
+    var selected = ready
+      .join(budgeted.select($"project", $"host", $"allowed"), Seq("project", "host"))
+      .withColumn("rnk", row_number().over(hostW))
+      .where($"rnk" <= $"allowed")
+      .drop("rnk", "allowed")
+    if (cfg.perProjectLimit > 0) {
+      val projW = Window.partitionBy($"project")
+        .orderBy($"priority".desc, $"exetime".asc, $"url_hash".asc)
+      selected = selected
+        .withColumn("prnk", row_number().over(projW))
+        .where($"prnk" <= cfg.perProjectLimit)
+        .drop("prnk")
+    }
+
+    // ---- J2 fetch join + F9 robots gate (checked at fetch time, like the
+    // reference: a robots denial consumes the token and fails the fetch)
+    val robotsSide = if (cfg.broadcastRobots) broadcast(robots) else robots
+    val fetched = selected
+      .join(pagesIdx, $"url_hash" === $"page_hash", "left_outer")
+      .drop("page_hash", "page_url")
+      .join(robotsSide, Seq("host"), "left_outer")
+      .withColumn("robots_ok",
+        if (cfg.respectRobots)
+          expr(s"robots_can_fetch(robots_txt, '${cfg.userAgent}', parse_url(url, 'PATH'))")
+        else lit(true))
+      .withColumn("fetch_ok", $"html".isNotNull && $"robots_ok")
+      .drop("robots_txt")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- P1/P2/P4/P6: extraction + follow construction (X6 text first)
+    val follows = fetched
+      .where($"fetch_ok")
+      .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
+        explode(expr("extract_follows(extract_text(html), url)")).as("f"))
+      .select($"project", $"parent_url", $"parent_host",
+        $"f.url".as("raw_url"), $"f.method".as("method"), $"f.data".as("data"))
+      .withColumn("curl", expr("canonicalize_url(raw_url)"))
+      .withColumn("fhost", expr("url_host(curl)"))
+      .where($"fhost" === $"parent_host") // F7 same-domain
+      .withColumn("url_hash", xxhash64($"curl"))
+
+    // ---- W4/F3: in-batch merge — max priority, min exetime, deterministic
+    // lexicographic-min payload (documented deviation from arrival order)
+    val candidates = follows.groupBy($"project", $"url_hash")
+      .agg(
+        max(lit(0)).as("priority"), // follows carry default priority 0
+        min(struct($"curl", $"method", $"data", $"parent_url")).as("m"),
+        count(lit(1)).as("dups"))
+      .select($"project", $"url_hash", $"m.curl".as("url"),
+        expr("url_host(m.curl)").as("host"),
+        lit(TaskStatus.Active).as("status"), $"priority".cast("int"),
+        lit(0.0).as("exetime"), lit(3).as("retries"), lit(0).as("retried"),
+        lit(-1.0).as("age"), lit(null).cast("string").as("itag"),
+        lit(false).as("force_update"), lit(false).as("auto_recrawl"),
+        lit(false).as("cancel"), $"m.parent_url".as("seed_url"),
+        $"m.method".as("method"), $"m.data".as("data"),
+        lit(0.0).as("lastcrawltime"), lit(now).as("updatetime"), $"dups")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- J1: URL-seen anti-join, bloom-prefiltered when available
+    val frontierKeys = frontier.select($"project", $"url_hash")
+    val freshAll = seenMightContain match {
+      case None =>
+        candidates.join(frontierKeys, Seq("project", "url_hash"), "left_anti")
+      case Some(mc) =>
+        val definitelyNew = candidates.where(!mc($"url_hash"))
+        val maybeSeen = candidates.where(mc($"url_hash"))
+          .join(frontierKeys, Seq("project", "url_hash"), "left_anti")
+        definitelyNew.unionByName(maybeSeen)
+    }
+    val fresh = freshAll.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- W7: status merge for the selected batch
+    val updates = fetched
+      .withColumn("delay0", ladder(cfg)($"retried"))
+      .withColumn("delay",
+        when($"auto_recrawl" && $"age" >= 0, least($"delay0", $"age"))
+          .otherwise(
+            when($"retried" >= $"retries", lit(-1.0))
+              .otherwise(when($"age" >= 0 && $"delay0" > $"age", $"age").otherwise($"delay0"))))
+      .withColumn("new_status",
+        when($"fetch_ok",
+          when($"auto_recrawl" && $"age" >= 0, lit(TaskStatus.Active)).otherwise(lit(TaskStatus.Success)))
+          .otherwise(when($"delay" < 0, lit(TaskStatus.Failed)).otherwise(lit(TaskStatus.Active))))
+      .withColumn("new_exetime",
+        when($"fetch_ok",
+          when($"auto_recrawl" && $"age" >= 0, lit(now) + $"age").otherwise($"exetime"))
+          .otherwise(when($"delay" < 0, $"exetime").otherwise(lit(now) + $"delay")))
+      .withColumn("new_retried",
+        when($"fetch_ok" || $"delay" < 0, $"retried").otherwise($"retried" + 1))
+      .select($"project", $"url_hash",
+        $"new_status", $"new_exetime", $"new_retried",
+        lit(now).as("new_lastcrawltime"), lit(now).as("new_updatetime"),
+        $"fetch_ok")
+
+    // ---- frontier merge: apply updates, append fresh
+    val merged = frontier.join(
+        updates.withColumnRenamed("fetch_ok", "u_fetch_ok"),
+        Seq("project", "url_hash"), "left_outer")
+      .select(
+        $"project", $"url_hash", $"url", $"host",
+        coalesce($"new_status", $"status").as("status"),
+        $"priority",
+        coalesce($"new_exetime", $"exetime").as("exetime"),
+        $"retries",
+        coalesce($"new_retried", $"retried").as("retried"),
+        $"age", $"itag", $"force_update", $"auto_recrawl", $"cancel",
+        $"seed_url", $"method", $"data",
+        coalesce($"new_lastcrawltime", $"lastcrawltime").as("lastcrawltime"),
+        coalesce($"new_updatetime", $"updatetime").as("updatetime"))
+      .unionByName(fresh.select(frontierCols.map(col): _*))
+
+    // ---- budgets update: subtract consumed, advance clocks
+    val consumed = selected.groupBy($"project", $"host").agg(count(lit(1)).as("consumed"))
+    val touched = budgeted
+      .join(consumed, Seq("project", "host"), "left_outer")
+      .select($"project", $"host",
+        ($"tokens_avail" - coalesce($"consumed", lit(0L))).as("tokens"),
+        lit(now).as("last_update"))
+    val nextBudgets = budgets.join(touched.select($"project", $"host"),
+        Seq("project", "host"), "left_anti")
+      .unionByName(touched)
+
+    // ---- S6/F8/P8: result rows for successfully fetched pages
+    val newResults = fetched
+      .where($"fetch_ok")
+      .withColumn("ext", lower(regexp_extract(expr("parse_url(url, 'PATH')"),
+        "\\.([A-Za-z0-9]+)$", 1)))
+      .where(!$"ext".isin("png", "js", "css")) // conf/url_filter.conf
+      .select($"project", $"url_hash", $"url",
+        $"method".as("type"),
+        when(length($"data") > 0, str_to_map($"data", lit("&"), lit("=")))
+          .otherwise(map().cast("map<string,string>")).as("data"),
+        $"seed_url", lit(now).as("updatetime"))
+
+    // ---- A3: per-project counters for this superstep
+    val cSel = fetched.groupBy($"project").agg(
+      count(lit(1)).as("scheduled"),
+      sum(when($"fetch_ok", 1L).otherwise(0L)).as("fetched"))
+    val cUpd = updates.groupBy($"project").agg(
+      sum(when($"fetch_ok", 1L).otherwise(0L)).as("succeeded"),
+      sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Failed, 1L).otherwise(0L)).as("failed_now"),
+      sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Active, 1L).otherwise(0L)).as("retried"))
+    val cNew = fresh.groupBy($"project").agg(
+      count(lit(1)).as("new_tasks"),
+      sum($"dups" - 1).as("in_batch_dups"))
+    val cDedup = candidates.groupBy($"project").agg(
+      count(lit(1)).as("candidates"))
+    val counters = cSel
+      .join(cUpd, Seq("project"), "full_outer")
+      .join(cNew, Seq("project"), "full_outer")
+      .join(cDedup, Seq("project"), "full_outer")
+      .na.fill(0L)
+      .withColumn("deduped", $"candidates" - $"new_tasks")
+
+    val scheduledCnt = fetched.count()
+    val freshCnt = fresh.count()
+
+    StepResult(merged, nextBudgets, newResults, counters, scheduledCnt, freshCnt,
+      cached = Seq(budgeted, fetched, candidates, fresh))
+  }
+}

@@ -1,0 +1,223 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.gen.PageGen
+import graft.model.TaskStatus
+import graft.sched.{Crawler, Superstep}
+import graft.frontier.FrontierStore
+
+class CrawlSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val now0 = 1700000000.0
+
+  private def projectsDf(rate: Double, burst: Double): DataFrame =
+    Seq(("p1", rate, burst)).toDF("name", "rate", "burst")
+
+  private def mkFrontier(rows: Seq[(String, Long, Int, Double)]): DataFrame =
+    // (url-ish id, hash, priority, exetime)
+    rows.map { case (id, h, pr, exe) =>
+      ("p1", h, s"http://h0.test/$id", "h0.test", TaskStatus.Active, pr, exe,
+        3, 0, -1.0, null: String, false, false, false, s"http://h0.test/$id", "link", "",
+        0.0, now0)
+    }.toDF(Superstep.frontierCols: _*)
+
+  private def emptyPages: (DataFrame, DataFrame) = {
+    val pages = Seq.empty[(String, java.sql.Timestamp, Array[Byte], String, String)]
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    Superstep.preparePages(spark, pages)
+  }
+
+  test("W1/W2 ordering oracle ported from test_scheduler.py:30-75 / task_queue self-test") {
+    // post-merge state of the reference fixture: a1(p1), a2(p4), a3(p2, ready),
+    // a4(p3, exetime=now0+2.2); rate=1 burst=1 => one selection per superstep.
+    // Reference pop order: a2, a3, a4, a1.
+    val frontier = mkFrontier(Seq(
+      ("a1", 1L, 1, 0.0),
+      ("a2", 2L, 4, 0.0),
+      ("a3", 3L, 2, 0.0),
+      ("a4", 4L, 3, now0 + 2.2)))
+    val (pagesIdx, robots) = emptyPages
+    var f = frontier
+    var budgets = Crawler.emptyBudgets(spark)
+    val order = Seq.newBuilder[Long]
+    (1 to 4).foreach { s =>
+      val now = now0 + s
+      val r = Superstep.run(spark, f, budgets, pagesIdx, robots,
+        projectsDf(1.0, 1.0), now, Superstep.Config(respectRobots = false))
+      // the selected row is the one whose lastcrawltime just became `now`
+      val sel = r.frontier.where($"lastcrawltime" === now).select("url_hash")
+        .collect().map(_.getLong(0))
+      assert(sel.length == 1, s"step $s selected ${sel.toSeq}")
+      order += sel.head
+      f = r.frontier.localCheckpoint()
+      budgets = r.budgets.localCheckpoint()
+      r.unpersistAll()
+    }
+    assert(order.result() == Seq(2L, 3L, 4L, 1L)) // a2, a3, a4, a1
+  }
+
+  test("A7 politeness: burst then rate-limited refill; never exceeds rate*dt+burst") {
+    // 10 ready tasks, rate=2 burst=3 -> selections per step: 3,2,2,2,1
+    val frontier = mkFrontier((1 to 10).map(i => (s"t$i", i.toLong, 0, 0.0)))
+    val (pagesIdx, robots) = emptyPages
+    var f = frontier
+    var budgets = Crawler.emptyBudgets(spark)
+    val perStep = Seq.newBuilder[Long]
+    (1 to 5).foreach { s =>
+      val now = now0 + s
+      val r = Superstep.run(spark, f, budgets, pagesIdx, robots,
+        projectsDf(2.0, 3.0), now, Superstep.Config(respectRobots = false))
+      perStep += r.scheduled
+      f = r.frontier.localCheckpoint(); budgets = r.budgets.localCheckpoint()
+      r.unpersistAll()
+    }
+    val counts = perStep.result()
+    assert(counts == Seq(3L, 2L, 2L, 2L, 1L), s"got $counts")
+    assert(counts.sum == 10)
+    // upper politeness bound over the whole run
+    assert(counts.sum <= 2.0 * 5 + 3)
+  }
+
+  test("W5 fair share caps per-project dispatch") {
+    val frontier = mkFrontier((1 to 20).map(i => (s"t$i", i.toLong, 0, 0.0)))
+    val (pagesIdx, robots) = emptyPages
+    val r = Superstep.run(spark, frontier, Crawler.emptyBudgets(spark), pagesIdx, robots,
+      projectsDf(1000.0, 1000.0), now0 + 1,
+      Superstep.Config(respectRobots = false, perProjectLimit = 5))
+    assert(r.scheduled == 5)
+    r.unpersistAll()
+  }
+
+  test("end-to-end fixture crawl: dedup, same-domain, robots, extension filter, canonical identity") {
+    val cfg = PageGen.Config(nHosts = 4, pagesPerHost = 16, hotHosts = 1, hotFactor = 3, fanout = 3)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val projects = projectsDf(1000.0, 1000.0) // effectively unlimited politeness
+    val seeds = Seq("p1" -> "http://host0.example.com/page/1", "p1" -> "http://host1.example.com/page/1")
+    val run = Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 8, now0 = now0, tick = 1.0))
+
+    val frontier = run.frontier.cache()
+    // 1. URL-seen set: url_hash unique per project (J1 soundness)
+    assert(frontier.groupBy("project", "url_hash").count().where($"count" > 1).count() == 0)
+    // 2. all frontier urls are canonical (idempotent identity)
+    assert(frontier.where(expr("canonicalize_url(url)") =!= $"url").count() == 0)
+    // 3. same-domain filter: only seeded hosts present
+    val hosts = frontier.select("host").distinct().as[String].collect().toSet
+    assert(hosts == Set("host0.example.com", "host1.example.com"))
+    // 4. robots: no /private/ url ever succeeded
+    assert(frontier.where($"url".contains("/private/") && $"status" === TaskStatus.Success).count() == 0)
+    assert(run.results.where($"url".contains("/private/")).count() == 0)
+    // but /private/ urls were discovered (and denied)
+    assert(frontier.where($"url".contains("/private/")).count() > 0)
+    // 5. extension filter: no .png results
+    assert(run.results.where($"url".endsWith(".png")).count() == 0)
+    // but .png urls are in the frontier (they are followed, just not sunk)
+    assert(frontier.where($"url".endsWith(".png")).count() > 0)
+    // 6. something substantial was crawled
+    assert(run.results.count() > 20)
+    assert(run.totalScheduled > 20)
+    // 7. forms were discovered as post candidates
+    assert(frontier.where($"method" === "post").count() > 0)
+    // 8. commented links discovered
+    assert(frontier.where($"url".contains("/old/")).count() > 0)
+    frontier.unpersist()
+  }
+
+  test("determinism: two identical runs produce identical URL-seen sets and results") {
+    val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 0, fanout = 3)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val projects = projectsDf(5.0, 10.0)
+    val seeds = Seq("p1" -> "http://host0.example.com/page/1")
+    def doRun() = Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 5, now0 = now0))
+    val r1 = doRun(); val r2 = doRun()
+    val s1 = r1.frontier.select("project", "url_hash", "status", "exetime").orderBy("url_hash")
+      .collect().toSeq
+    val s2 = r2.frontier.select("project", "url_hash", "status", "exetime").orderBy("url_hash")
+      .collect().toSeq
+    assert(s1 == s2)
+    assert(r1.results.orderBy("url_hash").collect().toSeq ==
+      r2.results.orderBy("url_hash").collect().toSeq)
+  }
+
+  test("resume: killed-and-resumed run equals uninterrupted run (SURVEY §3.2)") {
+    val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 0, fanout = 3)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val projects = projectsDf(3.0, 5.0)
+    val seeds = Seq("p1" -> "http://host0.example.com/page/0")
+    val dirA = java.nio.file.Files.createTempDirectory("graft-storeA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-storeB").toString
+
+    // uninterrupted: 6 steps
+    val storeA = new FrontierStore(dirA, 8)
+    Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 6, now0 = now0), Some(storeA))
+
+    // interrupted: 3 steps, then resume to 6
+    val storeB = new FrontierStore(dirB, 8)
+    Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 3, now0 = now0), Some(storeB))
+    Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 6, now0 = now0), Some(storeB))
+
+    val a = storeA.read(spark).get
+    val b = storeB.read(spark).get
+    def key(df: DataFrame) = df.select("project", "url_hash", "status", "exetime", "retried")
+      .orderBy("url_hash").collect().toSeq
+    assert(key(a.frontier) == key(b.frontier))
+    assert(a.results.orderBy("url_hash").collect().toSeq ==
+      b.results.orderBy("url_hash").collect().toSeq)
+    // manifest carries lineage + counters
+    val m = storeA.manifestJson(storeA.currentId.get)
+    assert(m.contains("\"partitions\""))
+    assert(m.contains("\"counters\""))
+  }
+
+  test("bloom prefilter path produces the same fresh set as exact anti-join") {
+    val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 0, fanout = 3)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val projects = projectsDf(1000.0, 1000.0)
+    val seeds = Seq("p1" -> "http://host0.example.com/page/1")
+    val exact = Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 4, now0 = now0))
+    val bloomed = Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 4, now0 = now0, bloomExpectedItems = 100000))
+    assert(exact.frontier.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq ==
+      bloomed.frontier.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq)
+    assert(exact.totalFresh == bloomed.totalFresh)
+  }
+
+  test("W7 retry ladder: missing page retries then fails; backoff times are exact") {
+    val frontier = mkFrontier(Seq(("gone", 99L, 0, 0.0)))
+    val (pagesIdx, robots) = emptyPages
+    var f = frontier
+    var budgets = Crawler.emptyBudgets(spark)
+    // big tick so each retry becomes ready immediately (ladder: 30s,1h,6h)
+    val tick = 7 * 3600.0
+    var states = Seq.newBuilder[(Int, Int, Double)]
+    (1 to 5).foreach { s =>
+      val now = now0 + s * tick
+      val r = Superstep.run(spark, f, budgets, pagesIdx, robots,
+        projectsDf(1000.0, 1000.0), now, Superstep.Config(respectRobots = false))
+      val row = r.frontier.select("status", "retried", "exetime").collect().head
+      states += ((row.getInt(0), row.getInt(1), row.getDouble(2)))
+      f = r.frontier.localCheckpoint(); budgets = r.budgets.localCheckpoint()
+      r.unpersistAll()
+    }
+    val st = states.result()
+    // attempt 1: retried=1, exetime = now + 30 (ladder[0])
+    assert(st(0) == ((TaskStatus.Active, 1, now0 + tick + 30.0)))
+    // attempt 2: retried=2, + 3600
+    assert(st(1) == ((TaskStatus.Active, 2, now0 + 2 * tick + 3600.0)))
+    // attempt 3: retried=3, + 21600
+    assert(st(2) == ((TaskStatus.Active, 3, now0 + 3 * tick + 21600.0)))
+    // attempt 4: retried(3) >= retries(3) -> FAILED
+    assert(st(3)._1 == TaskStatus.Failed)
+    // no further change
+    assert(st(4)._1 == TaskStatus.Failed)
+  }
+}
