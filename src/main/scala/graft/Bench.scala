@@ -1,24 +1,152 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.gen.PageGen
+import graft.sched.Crawler
+
+/**
+ * Round benchmark. Prints ONE JSON line:
+ *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+ *    "crawl":{...},"scaling":{...}}
+ *
+ * - `queries`: per-query wall seconds of every SparkEntry query on
+ *   $SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS].
+ * - `crawl`: full crawl (generate synthetic web graph, crawl it) with
+ *   urls_per_sec = (scheduled + deduped-new) / sec — the BASELINE.json metric.
+ * - `scaling`: the north_rule two-cluster-size evidence in sandbox form —
+ *   the same frontier schedule+dedup job at local[8] vs local[32]
+ *   (BASELINE.md "Sandbox evidence protocol"); efficiency = (r32/r8)/4.
+ *   Disable with SPARK_GRAFT_SCALING=0.
+ */
 object Bench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The metric job: canonicalize + hash + in-batch merge + seen anti-join +
+    * per-host ranked politeness selection over `n` synthetic frontier URLs
+    * vs `m` seen URLs. CPU-bound (codegen'd canonicalizer) + one shuffle per
+    * stage — the shape that must scale N -> 4N. */
+  def scheduleDedupJob(spark: SparkSession, n: Long, m: Long): Long = {
+    Udfs.register(spark)
+    val hosts = 5000
+    // ~4x duplicate discovery per URL (a crawl's follow stream is heavily
+    // duplicated — that is what the W4 in-batch merge exists for)
+    val distinctPaths = math.max(n / 4, 1)
+    val newTasks = spark.range(n).selectExpr(
+      s"id",
+      s"concat('HTTP://Host', cast(id % $hosts as string), '.Example.COM:80/p/', cast(id % $distinctPaths as string), '?b=', cast(id % 7 as string), '&a=1#f') as raw_url",
+      s"cast(id % 4 as int) as priority")
+    val seen = spark.range(m).selectExpr(
+      s"xxhash64(concat('http://host', cast(id % $hosts as string), '.example.com/p/', cast(id % $distinctPaths as string), '?a=1&b=', cast(id % 7 as string))) as url_hash")
+    val canon = newTasks
+      .selectExpr("canonicalize_url(raw_url) as url", "priority", "id")
+      // host of a CANONICAL url via codegen'd byte-level built-ins (no JVM
+      // String allocation; url_host() stays for the general API)
+      .selectExpr("url", "substring_index(substring_index(url, '://', -1), '/', 1) as host",
+        "xxhash64(url) as url_hash", "priority", "id")
+    val merged = canon.groupBy("url_hash")
+      .agg(max("priority").as("priority"), min("id").as("first_id"),
+        first("host", ignoreNulls = true).as("host"))
+    val fresh = merged.join(seen, Seq("url_hash"), "left_anti")
+    val selected = fresh
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("host")
+          .orderBy(col("priority").desc, col("url_hash").asc)))
+      .where(col("rnk") <= 50)
+    selected.count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "32000000").toLong
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+
+    var spark = Udfs.newSession(s"local[$cpus]", cpus, "graft-bench")
+
+    // ---- per-query timings
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- full-crawl throughput (the BASELINE metric at bench scale)
+    val crawlCfg = PageGen.Config(nHosts = 500, pagesPerHost = 60, hotHosts = 10,
+      hotFactor = 5, fanout = 6)
+    def crawlBench(spark0: SparkSession): (Long, Long, Long) = {
+      import spark0.implicits._
+      val pages = PageGen.pages(spark0, crawlCfg).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pages.count()
+      val projects = Seq(("bench", 1e9, 1e9)).toDF("name", "rate", "burst")
+      val seeds = (0 until 50).map(h => "bench" -> s"http://host$h.example.com/page/1")
+      val run = Crawler.run(spark0, pages, projects, seeds,
+        Crawler.CrawlConfig(maxSteps = 4))
+      pages.unpersist()
+      (run.totalScheduled, run.totalFresh, run.results.count())
+    }
+    val (crawlStats, crawlSec) = time(crawlBench(spark))
+    val crawlUrls = crawlStats._1 + crawlStats._2
+    val crawlRate = crawlUrls / crawlSec
+
+    // ---- scaling evidence: same job, two parallelism levels, each in a
+    // FRESH forked JVM (shared-heap/JIT state otherwise biases whichever
+    // level runs second — observed ±30% swings in-process)
+    var scalingJson = "null"
+    if (doScaling) {
+      def runForked(p: Int): Double = {
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val opens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar"
+        ).flatMap(m => Seq("--add-opens", s"$m=ALL-UNNAMED"))
+        val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")
+        val cmd = Seq(javaBin) ++ opens ++ Seq(
+          s"-Xmx$xmx", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.ScalingRun", p.toString, scaleN.toString, scaleReps.toString)
+        val out = new StringBuilder
+        val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+        val rdr = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+        var line = rdr.readLine()
+        while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
+        proc.waitFor()
+        "RATE ([0-9.]+)".r.findFirstMatchIn(out.toString)
+          .map(_.group(1).toDouble)
+          .getOrElse { System.err.println(s"[bench] scaling at $p failed:\n$out"); -1.0 }
+      }
+      // the sandbox VM shows time-varying CPU steal/throttle: alternate the
+      // two levels and keep the best rate per level, so a throttled window
+      // doesn't land entirely on one side of the ratio
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+      var r8 = -1.0; var r32 = -1.0
+      (1 to rounds).foreach { _ =>
+        r8 = math.max(r8, runForked(8))
+        r32 = math.max(r32, runForked(32))
+      }
+      if (r8 > 0 && r32 > 0) {
+        val eff = (r32 / r8) / 4.0
+        scalingJson = f"""{"job":"schedule_dedup","n_urls":$scaleN,"urls_per_sec_local8":${r8}%.0f,"urls_per_sec_local32":${r32}%.0f,"efficiency_8_to_32":${eff}%.3f}"""
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${v}%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val crawlJson =
+      f"""{"pages":${PageGen.totalPages(crawlCfg)},"urls_scheduled_plus_new":$crawlUrls,"results":${crawlStats._3},"sec":${crawlSec}%.2f,"urls_per_sec":${crawlRate}%.0f}"""
+    println(f"""{"metric":"total","value":${total}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson,"scaling":$scalingJson}""")
     spark.stop()
   }
 }

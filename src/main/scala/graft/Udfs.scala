@@ -28,6 +28,14 @@ object Udfs {
 
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
+    // Native codegen'd expressions arrive via GraftExtensions when the session
+    // was built with spark.sql.extensions=graft.GraftExtensions. On a vanilla
+    // session (e.g. an external driver), fall back to equivalent Scala UDFs
+    // under the same names so every query still resolves.
+    if (!spark.catalog.functionExists("canonicalize_url"))
+      u.register("canonicalize_url", (s: String) => graft.url.UrlCanon.canonicalize(s))
+    if (!spark.catalog.functionExists("url_host"))
+      u.register("url_host", (s: String) => graft.url.UrlCanon.hostOf(s))
     u.register("extract_text",
       (html: Array[Byte]) => Encoding.extractText(html, null))
     u.register("extract_text_ct",
@@ -61,9 +69,17 @@ object Udfs {
   /** Session factory used by mains/tests: graft extensions + UDFs + sane
     * local-mode scale defaults (AQE on, shuffle partitions = cores). */
   def newSession(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
+    // In this single-box sandbox all "executors" share one disk; tmpfs shuffle
+    // dirs emulate the per-node local SSDs a real cluster would have
+    // (documented in BENCH.md). Override with SPARK_GRAFT_LOCAL_DIR.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark" else System.getProperty("java.io.tmpdir")
+    })
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

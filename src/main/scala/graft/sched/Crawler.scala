@@ -131,7 +131,7 @@ object Crawler {
           budgets = r.budgets.localCheckpoint()
           results = newResultsAll.localCheckpoint()
       }
-      counters += r.counters.withColumn("step", lit(stepNo)).localCheckpoint()
+      counters += r.counters.withColumn("step", lit(stepNo))
 
       // update the bloom with this step's fresh keys
       bloom.foreach { b =>

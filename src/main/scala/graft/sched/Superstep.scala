@@ -268,15 +268,20 @@ object Superstep {
       sum($"dups" - 1).as("in_batch_dups"))
     val cDedup = candidates.groupBy($"project").agg(
       count(lit(1)).as("candidates"))
-    val counters = cSel
+    val countersDf = cSel
       .join(cUpd, Seq("project"), "full_outer")
       .join(cNew, Seq("project"), "full_outer")
       .join(cDedup, Seq("project"), "full_outer")
       .na.fill(0L)
       .withColumn("deduped", $"candidates" - $"new_tasks")
 
-    val scheduledCnt = fetched.count()
-    val freshCnt = fresh.count()
+    // ONE action materializes every persisted intermediate and yields all
+    // step totals (instead of separate count() jobs per metric).
+    val counterRows = countersDf.collect()
+    val counters = spark.createDataFrame(
+      spark.sparkContext.parallelize(counterRows.toIndexedSeq, 1), countersDf.schema)
+    val scheduledCnt = counterRows.map(_.getAs[Long]("scheduled")).sum
+    val freshCnt = counterRows.map(_.getAs[Long]("new_tasks")).sum
 
     StepResult(merged, nextBudgets, newResults, counters, scheduledCnt, freshCnt,
       cached = Seq(budgeted, fetched, candidates, fresh))

@@ -210,10 +210,129 @@ object UrlCanon {
    * fragment + default port, remove dot segments, default path "/",
    * percent-encode non-ASCII, sort query params (byte order, duplicates
    * kept), drop empty query tokens. Idempotent.
+   *
+   * Hot path at 10^10 rows: `canonFast` handles plain-ASCII http(s) URLs in
+   * one pass with a single StringBuilder (no parse object, no byte array, no
+   * split) and bails to the general parse/rebuild on anything unusual
+   * (non-ASCII, userinfo, dot segments, chars needing percent-encoding).
+   * Equivalence is enforced by the exhaustive sweep in UrlCanonSpec.
    */
-  def canonicalize(url: String): String = parse(url) match {
+  def canonicalize(url: String): String = {
+    val fast = canonFast(url)
+    if (fast != null) fast else canonGeneral(url)
+  }
+
+  def canonGeneral(url: String): String = parse(url) match {
     case None => url.trim
     case Some(p) => rebuild(p, keepFragment = false, sortQuery = true)
+  }
+
+  @inline private def lowerChar(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  @inline private def needsEncoding(c: Char): Boolean =
+    c <= ' ' || c >= 0x7f || c == '"' || c == '<' || c == '>' || c == '`' || c == '\\'
+
+  /** Single-pass canonicalizer for the common case; null = fall back. */
+  def canonFast(url0: String): String = {
+    var start = 0
+    var end = url0.length
+    while (start < end && url0.charAt(start) <= ' ') start += 1
+    while (end > start && url0.charAt(end - 1) <= ' ') end -= 1
+    if (end - start < 8) return null
+    // scheme (letters only on the fast path)
+    var i = start
+    while (i < end && url0.charAt(i) != ':') {
+      val c = url0.charAt(i)
+      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return null
+      i += 1
+    }
+    if (i >= end - 2 || url0.charAt(i + 1) != '/' || url0.charAt(i + 2) != '/') return null
+    val schemeEnd = i
+    val sb = new java.lang.StringBuilder(end - start + 1)
+    var j = start
+    while (j < schemeEnd) { sb.append(lowerChar(url0.charAt(j))); j += 1 }
+    val scheme = sb.toString
+    val defPort = scheme match {
+      case "http" | "ws" => 80
+      case "https" | "wss" => 443
+      case "ftp" => 21
+      case _ => -1
+    }
+    sb.append("://")
+    i = schemeEnd + 3
+    // authority
+    val authStart = i
+    while (i < end && { val c = url0.charAt(i); c != '/' && c != '?' && c != '#' }) {
+      val c = url0.charAt(i)
+      if (c == '@' || c == '[' || needsEncoding(c)) return null // userinfo/IPv6/odd -> general
+      i += 1
+    }
+    val authEnd = i
+    var colon = -1
+    j = authEnd - 1
+    while (j >= authStart && colon < 0) { if (url0.charAt(j) == ':') colon = j; j -= 1 }
+    val hostEnd = if (colon >= 0) colon else authEnd
+    if (hostEnd == authStart) return null // empty host
+    j = authStart
+    while (j < hostEnd) { sb.append(lowerChar(url0.charAt(j))); j += 1 }
+    if (colon >= 0 && colon + 1 < authEnd) {
+      var p = 0
+      j = colon + 1
+      while (j < authEnd) {
+        val c = url0.charAt(j)
+        if (c < '0' || c > '9') return null
+        p = p * 10 + (c - '0')
+        if (p > 99999) return null
+        j += 1
+      }
+      if (p != defPort) { sb.append(':'); sb.append(p) }
+    }
+    // path
+    if (i >= end || url0.charAt(i) != '/') sb.append('/')
+    var prev = ' '
+    while (i < end && { val c = url0.charAt(i); c != '?' && c != '#' }) {
+      val c = url0.charAt(i)
+      if (needsEncoding(c)) return null
+      if (c == '.' && prev == '/') return null // possible dot segment -> general
+      sb.append(c)
+      prev = c
+      i += 1
+    }
+    // query: tokens sorted byte-order, empties dropped
+    if (i < end && url0.charAt(i) == '?') {
+      i += 1
+      val qStart = i
+      while (i < end && url0.charAt(i) != '#') {
+        if (needsEncoding(url0.charAt(i))) return null
+        i += 1
+      }
+      if (i > qStart) {
+        var nTok = 0
+        val toks = new java.util.ArrayList[String](4)
+        var ts = qStart
+        var k = qStart
+        while (k <= i) {
+          if (k == i || url0.charAt(k) == '&') {
+            if (k > ts) { toks.add(url0.substring(ts, k)); nTok += 1 }
+            ts = k + 1
+          }
+          k += 1
+        }
+        if (nTok > 0) {
+          if (nTok > 1) java.util.Collections.sort(toks)
+          sb.append('?')
+          var x = 0
+          while (x < nTok) {
+            if (x > 0) sb.append('&')
+            sb.append(toks.get(x))
+            x += 1
+          }
+        }
+      }
+    }
+    // fragment dropped
+    sb.toString
   }
 
   private def rebuild(p: Parsed, keepFragment: Boolean, sortQuery: Boolean): String = {
@@ -235,10 +354,158 @@ object UrlCanon {
     sb.toString
   }
 
-  /** UTF8String bridge for codegen (see [[CanonicalizeUrl]]). */
-  def canonUTF8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
-    if (u == null) null
+  /** UTF8String bridge for codegen (see [[CanonicalizeUrl]]): the fast path
+    * runs DIRECTLY over the UTF-8 bytes — no String decode/encode round-trip,
+    * ~3 allocations per row. At 10^10 frontier rows the transcoding otherwise
+    * dominates (observed 5x CPU inflation at 32 threads from allocation
+    * pressure). Falls back to the String-based general path on non-ASCII /
+    * unusual shapes. */
+  def canonUTF8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (u == null) return null
+    val bytes = u.getBytes
+    val fast = canonFastBytes(bytes)
+    if (fast != null) org.apache.spark.unsafe.types.UTF8String.fromBytes(fast)
     else org.apache.spark.unsafe.types.UTF8String.fromString(canonicalize(u.toString))
+  }
+
+  @inline private def lowerB(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
+  @inline private def needsEncB(c: Int): Boolean =
+    c <= ' ' || c >= 0x7f || c == '"' || c == '<' || c == '>' || c == '`' || c == '\\'
+
+  private def regionEq(b: Array[Byte], s: Int, e: Int, lit: String): Boolean = {
+    if (e - s != lit.length) return false
+    var i = 0
+    while (i < lit.length) { if (lowerB(b(s + i) & 0xff) != lit.charAt(i)) return false; i += 1 }
+    true
+  }
+
+  /** Byte-level single-pass canonicalizer; null = fall back to general. */
+  def canonFastBytes(b: Array[Byte]): Array[Byte] = {
+    var start = 0
+    var end = b.length
+    while (start < end && (b(start) & 0xff) <= ' ') start += 1
+    while (end > start && (b(end - 1) & 0xff) <= ' ') end -= 1
+    if (end - start < 8) return null
+    var i = start
+    while (i < end && b(i) != ':') {
+      val c = b(i) & 0xff
+      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return null
+      i += 1
+    }
+    if (i >= end - 2 || b(i + 1) != '/' || b(i + 2) != '/') return null
+    val schemeEnd = i
+    val out = new Array[Byte](end - start + 1)
+    var o = 0
+    var j = start
+    while (j < schemeEnd) { out(o) = lowerB(b(j) & 0xff).toByte; o += 1; j += 1 }
+    val defPort =
+      if (regionEq(b, start, schemeEnd, "http") || regionEq(b, start, schemeEnd, "ws")) 80
+      else if (regionEq(b, start, schemeEnd, "https") || regionEq(b, start, schemeEnd, "wss")) 443
+      else if (regionEq(b, start, schemeEnd, "ftp")) 21
+      else -1
+    out(o) = ':'; out(o + 1) = '/'; out(o + 2) = '/'; o += 3
+    i = schemeEnd + 3
+    val authStart = i
+    while (i < end && { val c = b(i) & 0xff; c != '/' && c != '?' && c != '#' }) {
+      val c = b(i) & 0xff
+      if (c == '@' || c == '[' || needsEncB(c)) return null
+      i += 1
+    }
+    val authEnd = i
+    var colon = -1
+    j = authEnd - 1
+    while (j >= authStart && colon < 0) { if (b(j) == ':') colon = j; j -= 1 }
+    val hostEnd = if (colon >= 0) colon else authEnd
+    if (hostEnd == authStart) return null
+    j = authStart
+    while (j < hostEnd) { out(o) = lowerB(b(j) & 0xff).toByte; o += 1; j += 1 }
+    if (colon >= 0 && colon + 1 < authEnd) {
+      var p = 0
+      j = colon + 1
+      while (j < authEnd) {
+        val c = b(j) & 0xff
+        if (c < '0' || c > '9') return null
+        p = p * 10 + (c - '0')
+        if (p > 99999) return null
+        j += 1
+      }
+      if (p != defPort) {
+        out(o) = ':'; o += 1
+        val ps = String.valueOf(p)
+        var x = 0
+        while (x < ps.length) { out(o) = ps.charAt(x).toByte; o += 1; x += 1 }
+      }
+    }
+    if (i >= end || b(i) != '/') { out(o) = '/'; o += 1 }
+    var prev = ' '.toInt
+    while (i < end && { val c = b(i) & 0xff; c != '?' && c != '#' }) {
+      val c = b(i) & 0xff
+      if (needsEncB(c)) return null
+      if (c == '.' && prev == '/') return null
+      out(o) = c.toByte; o += 1
+      prev = c
+      i += 1
+    }
+    if (i < end && b(i) == '?') {
+      i += 1
+      val qStart = i
+      while (i < end && b(i) != '#') {
+        if (needsEncB(b(i) & 0xff)) return null
+        i += 1
+      }
+      val qEnd = i
+      if (qEnd > qStart) {
+        // token bounds
+        var nTok = 0
+        var k = qStart
+        var ts = qStart
+        var maxTok = 1
+        k = qStart
+        while (k < qEnd) { if (b(k) == '&') maxTok += 1; k += 1 }
+        val tokS = new Array[Int](maxTok)
+        val tokE = new Array[Int](maxTok)
+        k = qStart
+        while (k <= qEnd) {
+          if (k == qEnd || b(k) == '&') {
+            if (k > ts) { tokS(nTok) = ts; tokE(nTok) = k; nTok += 1 }
+            ts = k + 1
+          }
+          k += 1
+        }
+        // insertion sort by unsigned byte order
+        def less(x: Int, y: Int): Boolean = {
+          var a = tokS(x); var c = tokS(y)
+          while (a < tokE(x) && c < tokE(y)) {
+            val d = (b(a) & 0xff) - (b(c) & 0xff)
+            if (d != 0) return d < 0
+            a += 1; c += 1
+          }
+          (tokE(x) - tokS(x)) < (tokE(y) - tokS(y))
+        }
+        var x = 1
+        while (x < nTok) {
+          var y = x
+          while (y > 0 && less(y, y - 1)) {
+            val s1 = tokS(y); tokS(y) = tokS(y - 1); tokS(y - 1) = s1
+            val e1 = tokE(y); tokE(y) = tokE(y - 1); tokE(y - 1) = e1
+            y -= 1
+          }
+          x += 1
+        }
+        if (nTok > 0) {
+          out(o) = '?'; o += 1
+          x = 0
+          while (x < nTok) {
+            if (x > 0) { out(o) = '&'; o += 1 }
+            var a = tokS(x)
+            while (a < tokE(x)) { out(o) = b(a); o += 1; a += 1 }
+            x += 1
+          }
+        }
+      }
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
 
   def hostUTF8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
     if (u == null) null

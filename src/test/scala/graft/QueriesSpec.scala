@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every SparkEntry query must run at sf0.001 and the physical plans of the
+  * scale-critical ones must have the right shape (pushdown, broadcast,
+  * partial aggregation) — the ".explain until it's the plan you want" gate. */
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("all queries execute at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n >= 0, name)
+      assert(df.columns.nonEmpty, name)
+    }
+  }
+
+  test("every oracle key has a query and entry() yields rows") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("s1_scan_prune: filters are pushed to the parquet scan and columns pruned") {
+    val p = plan("s1_scan_prune")
+    assert(p.contains("PushedFilters: ["), p.take(500))
+    assert(p.contains("LessThan(l_shipdate") || p.contains("GreaterThan(l_quantity"), p.take(800))
+    // pruned read schema: only the 4 referenced columns, not all 11
+    assert(!p.contains("l_extendedprice"))
+  }
+
+  test("j3_broadcast_join: dimension side is broadcast, not shuffled") {
+    val p = plan("j3_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
+  test("j1_dedup_anti: anti join present, no cartesian") {
+    val p = plan("j1_dedup_anti")
+    assert(p.contains("LeftAnti"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("a1_agg_lineitem: partial (map-side) aggregation before the shuffle") {
+    val p = plan("a1_agg_lineitem")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(500))
+    assert(p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
+  test("w1_ready_rank: single window sort, AQE-planned exchange") {
+    val p = plan("w1_ready_rank")
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"), p.take(500))
+  }
+
+  test("v1_ann_brute: query side broadcast — no shuffle of the big side") {
+    val p = plan("v1_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("whole-stage codegen covers the canonicalizer expression") {
+    val df = SparkEntry.queries("x1_url_canon")(spark, dir)
+    df.collect() // finalize the AQE plan — codegen nodes appear post-execution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan string; the
+    // canonicalize_url Project must carry one (native expression, no UDF box)
+    assert(p.contains("*(1) Project [canonicalize_url"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"))
+  }
+}

@@ -93,6 +93,32 @@ class UrlCanonSpec extends AnyFunSuite {
     }
   }
 
+  private def canonViaBytes(u: String): String = {
+    val r = UrlCanon.canonFastBytes(u.getBytes("UTF-8"))
+    if (r == null) UrlCanon.canonGeneral(u) else new String(r, "UTF-8")
+  }
+
+  test("fast path equals general path on the sweep + hot-path shapes") {
+    allUrls.foreach { u =>
+      assert(UrlCanon.canonicalize(u) == UrlCanon.canonGeneral(u), s"fast != general for $u")
+      assert(canonViaBytes(u) == UrlCanon.canonGeneral(u), s"bytes != general for $u")
+    }
+    val hot = (0 until 2000).map(i =>
+      s"HTTP://Host${i % 50}.Example.COM:80/p/${i}?b=${i % 7}&a=1#f")
+    hot.foreach { u =>
+      assert(UrlCanon.canonicalize(u) == UrlCanon.canonGeneral(u), s"fast != general for $u")
+      assert(canonViaBytes(u) == UrlCanon.canonGeneral(u), s"bytes != general for $u")
+    }
+    // fall-back shapes must still work
+    Seq("http://u@h.com/x", "http://h.com/a/../b", "http://h.com/展示", "not a url",
+      "http://[::1]:8080/x", "http://h.com/a b?x=1", "x://h/^{}", "http://h.com:/p",
+      "http://h.com:8080?z=1&y=2&y=1#f", "FTP://H.COM:21/f?", "http://h.com/p?&&")
+      .foreach { u =>
+        assert(UrlCanon.canonicalize(u) == UrlCanon.canonGeneral(u), s"fast != general for $u")
+        assert(canonViaBytes(u) == UrlCanon.canonGeneral(u), s"bytes != general for $u")
+      }
+  }
+
   test("canonicalize strips fragments and sorts queries stably (sweep)") {
     allUrls.foreach { u =>
       val c = UrlCanon.canonicalize(u)
