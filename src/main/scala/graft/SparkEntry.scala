@@ -306,6 +306,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), min(size(col("embedding")).cast("long")).as("dim"))
         .orderBy("label")),
 
+    // ================= misc operators =================
+    "w6_active_ring" -> ((s, dir) => {
+      // W6: last-N ring buffer per project (scheduler.py:854-896)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)).cast("long"))
+        .where("rn <= 3").select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    }),
+    "x9_data_url" -> ((s, dir) => {
+      // S11/X9: data: URL decode round-trip
+      t(s, dir, "documents").selectExpr("doc_id",
+          "data_url_decode(concat('data:text/plain;base64,', base64(encode(substring(text, 1, 16), 'utf-8')))) as txt")
+        .orderBy("doc_id")
+    }),
+
+    // ================= multimodal columns =================
+    "m1_mm_meta" -> ((s, dir) => {
+      // binary media column -> typed metadata struct (stub codec, real plumbing)
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "mm_synth_blob(doc_id, cast(doc_id % 3 as int)) as blob")
+        .selectExpr("doc_id", "mm_meta(blob) as m")
+        .selectExpr("doc_id", "cast(m.mediaType as bigint) as media_type",
+          "cast(m.channels as bigint) as channels", "cast(m.width as bigint) as width",
+          "cast(m.height as bigint) as height", "cast(m.frames as bigint) as frames")
+        .orderBy("doc_id")
+    }),
+    "m2_mm_features" -> ((s, dir) => {
+      // partition-local batch decode + feature extraction (mapInPandas analogue)
+      val media = t(s, dir, "documents")
+        .selectExpr("doc_id as media_id", "mm_synth_blob(doc_id, cast(doc_id % 3 as int)) as blob")
+      graft.mm.Multimodal.extractFeatures(s, media).orderBy("media_id")
+    }),
+    "m3_mm_resize_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "mm_synth_blob(doc_id, cast(doc_id % 3 as int)) as blob")
+        .selectExpr("doc_id",
+          "cast(mm_meta(mm_resize(blob, 64, 48)).width as bigint) as rw",
+          "cast(mm_meta(mm_resize(blob, 64, 48)).height as bigint) as rh",
+          "cast(size(mm_sample_frames(blob, 5)) as bigint) as sampled")
+        .orderBy("doc_id")
+    }),
+
     // ================= the crawl itself (rows-only; covered by CrawlSpec) ==
     "c1_crawl_frontier" -> ((s, dir) => {
       Udfs.register(s)
@@ -374,7 +417,15 @@ object SparkEntry {
       "v1_ann_brute" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), s AS (SELECT qid, vec_id, round(CAST(list_cosine_similarity(qe, embedding) AS DOUBLE), 4) AS sim FROM q, embeddings WHERE vec_id <> qid), r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn FROM s) SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""",
       "v3_embed_stats" ->
-        "SELECT label, count(*) AS cnt, CAST(min(len(embedding)) AS BIGINT) AS dim FROM embeddings GROUP BY label ORDER BY label"
+        "SELECT label, count(*) AS cnt, CAST(min(len(embedding)) AS BIGINT) AS dim FROM embeddings GROUP BY label ORDER BY label",
+      "w6_active_ring" ->
+        "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn <= 3 ORDER BY user_id, rn",
+      "x9_data_url" ->
+        "SELECT doc_id, substring(text, 1, 16) AS txt FROM documents ORDER BY doc_id",
+      "m1_mm_meta" ->
+        """SELECT doc_id, doc_id % 3 AS media_type, CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS BIGINT) AS channels, 32 + doc_id % 96 AS width, 32 + (doc_id // 128) % 96 AS height, CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + (doc_id // 8192) % 30 ELSE 1 END AS BIGINT) AS frames FROM documents ORDER BY doc_id""",
+      "m3_mm_resize_sample" ->
+        """SELECT doc_id, CAST(64 AS BIGINT) AS rw, CAST(48 AS BIGINT) AS rh, CAST(CASE WHEN doc_id % 3 = 2 THEN (1 + (doc_id // 8192) % 30 + 4) // 5 ELSE 0 END AS BIGINT) AS sampled FROM documents ORDER BY doc_id"""
       // d2/d3/d4, t1/t3/t4/t5, v2, c1: non-SQL-expressible operator semantics
       // (custom hashing / heuristics / the crawl itself) -> rows-only check;
       // each is covered by a ScalaTest spec instead.

@@ -64,6 +64,22 @@ object Udfs {
       (v: Seq[Float], planes: Int, seed: Long) => Vectors.lshKey(v, planes, seed))
     u.register("lsh_probes",
       (key: Int, planes: Int) => Vectors.lshProbes(key, planes))
+    u.register("data_url_decode", (u: String) => dataUrlDecode(u))
+    graft.mm.Multimodal.register(spark)
+  }
+
+  /** data: URL decode (reference sspider/libs/dataurl.py:12-62 — S11/X9):
+    * `data:[mime][;base64],payload` -> decoded text (utf-8). */
+  def dataUrlDecode(u: String): String = {
+    if (u == null || !u.startsWith("data:")) return null
+    val comma = u.indexOf(',')
+    if (comma < 0) return null
+    val header = u.substring(5, comma)
+    val payload = u.substring(comma + 1)
+    if (header.endsWith(";base64"))
+      new String(java.util.Base64.getDecoder.decode(payload), "UTF-8")
+    else
+      java.net.URLDecoder.decode(payload, "UTF-8")
   }
 
   /** Session factory used by mains/tests: graft extensions + UDFs + sane

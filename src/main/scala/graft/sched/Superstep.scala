@@ -137,6 +137,8 @@ object Superstep {
     // ---- J2 fetch join + F9 robots gate (checked at fetch time, like the
     // reference: a robots denial consumes the token and fails the fetch)
     val robotsSide = if (cfg.broadcastRobots) broadcast(robots) else robots
+    // X6 decode happens HERE, once, and the raw html bytes never enter the
+    // persisted frame (one materialization carries decoded text instead)
     val fetched = selected
       .join(pagesIdx, $"url_hash" === $"page_hash", "left_outer")
       .drop("page_hash", "page_url")
@@ -146,14 +148,15 @@ object Superstep {
           expr(s"robots_can_fetch(robots_txt, '${cfg.userAgent}', parse_url(url, 'PATH'))")
         else lit(true))
       .withColumn("fetch_ok", $"html".isNotNull && $"robots_ok")
-      .drop("robots_txt")
+      .withColumn("page_text", when($"fetch_ok", expr("extract_text(html)")))
+      .drop("robots_txt", "html")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- P1/P2/P4/P6: extraction + follow construction (X6 text first)
+    // ---- P1/P2/P4/P6: extraction + follow construction
     val follows = fetched
       .where($"fetch_ok")
       .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
-        explode(expr("extract_follows(extract_text(html), url)")).as("f"))
+        explode(expr("extract_follows(page_text, url)")).as("f"))
       .select($"project", $"parent_url", $"parent_host",
         $"f.url".as("raw_url"), $"f.method".as("method"), $"f.data".as("data"))
       .withColumn("curl", expr("canonicalize_url(raw_url)"))

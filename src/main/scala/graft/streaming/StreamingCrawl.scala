@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.frontier.FrontierStore
+import graft.sched.{Crawler, Superstep}
+
+/**
+ * Continuous-mode wrapper (SURVEY §2.10): the reference is a long-running
+ * 0.1s-tick loop; the Spark-native continuous variant is a Structured
+ * Streaming query where each micro-batch = one superstep. New seed tasks
+ * arrive on an unbounded stream (file source, Kafka, or MemoryStream in
+ * tests); every trigger merges the batch's seeds into the persisted
+ * frontier and advances the crawl by one superstep, committing a snapshot.
+ *
+ * The frontier itself stays in the FrontierStore (not in streaming state):
+ * it is the same resumable state the batch driver uses, so batch and
+ * streaming modes interoperate — you can stop the stream and continue with
+ * `Crawler.run`, or vice versa. At-least-once semantics match the
+ * reference's restart contract (SURVEY §3.2): an uncommitted superstep is
+ * simply re-selected.
+ */
+object StreamingCrawl {
+
+  /**
+   * @param seedStream streaming DataFrame with columns (project, url)
+   * @param tickSeconds deterministic virtual-clock advance per micro-batch
+   */
+  def start(spark: SparkSession, pages: DataFrame, projects: DataFrame,
+      store: FrontierStore, seedStream: DataFrame,
+      cfg: Superstep.Config = Superstep.Config(),
+      now0: Double = 1700000000.0, tickSeconds: Double = 1.0,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      queryCheckpointDir: Option[String] = None): StreamingQuery = {
+
+    val (pagesIdx, robots) = Superstep.preparePages(spark, pages)
+    pagesIdx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    robots.persist()
+
+    val writer = seedStream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snap = store.read(spark)
+        val step = snap.map(_.step).getOrElse(0)
+        val now = now0 + (step + 1) * tickSeconds
+        var frontier = snap.map(_.frontier)
+          .getOrElse(Crawler.seedFrontier(spark, Seq.empty, now0))
+        val budgets = snap.map(_.budgets).getOrElse(Crawler.emptyBudgets(spark))
+        val results = snap.map(_.results).getOrElse(Crawler.emptyResults(spark))
+
+        // merge newly arrived seeds (J1 semantics: known url_hash is ignored)
+        val newSeeds = batch.select("project", "url").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        if (newSeeds.nonEmpty) {
+          val seedRows = Crawler.seedFrontier(spark, newSeeds, now)
+            .join(frontier.select("project", "url_hash"), Seq("project", "url_hash"), "left_anti")
+          frontier = frontier.unionByName(seedRows)
+        }
+
+        val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
+          projects, now, cfg)
+        val mergedResults = results.unionByName(
+          r.newResults.join(results.select("project", "url_hash"),
+            Seq("project", "url_hash"), "left_anti"))
+        store.write(spark, step + 1, now, r.frontier, r.budgets, mergedResults, r.counters)
+        r.unpersistAll()
+      }
+
+    queryCheckpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+}
