@@ -78,15 +78,15 @@ object Bench {
     }
 
     // ---- full-crawl throughput (the BASELINE metric at bench scale)
-    val crawlCfg = PageGen.Config(nHosts = 500, pagesPerHost = 60, hotHosts = 10,
-      hotFactor = 5, fanout = 6)
+    val crawlCfg = PageGen.Config(nHosts = 2000, pagesPerHost = 60, hotHosts = 20,
+      hotFactor = 5, fanout = 8)
     def crawlBench(spark0: SparkSession): (Long, Long, Long) = {
       import spark0.implicits._
       val pages = PageGen.pages(spark0, crawlCfg).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pages.count()
       val projects = Seq(("bench", 1e9, 1e9)).toDF("name", "rate", "burst")
-      val seeds = (0 until 50).map(h => "bench" -> s"http://host$h.example.com/page/1")
+      val seeds = (0 until 1000).map(h => "bench" -> s"http://host$h.example.com/page/1")
       val run = Crawler.run(spark0, pages, projects, seeds,
         Crawler.CrawlConfig(maxSteps = 4))
       pages.unpersist()

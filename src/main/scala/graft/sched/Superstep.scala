@@ -74,6 +74,57 @@ object Superstep {
     (content, robots)
   }
 
+  /**
+   * J1/F5/F6: merge an incoming task batch into the frontier with the
+   * reference's on_request semantics (scheduler.py:234-308):
+   *  - unknown (project, url_hash)       -> insert ACTIVE (on_new_request)
+   *  - known: restart iff incoming itag differs from stored itag, OR
+   *    age >= 0 && lastcrawltime + age < now, OR force_update
+   *    (on_old_request restart predicate F5)
+   *  - restart + cancel + force_update   -> mark BAD, drop from queue (F6)
+   *  - restart                           -> status ACTIVE, schedule replaced
+   *  - otherwise                         -> ignored
+   *
+   * `incoming` must carry frontierCols. Returns the merged frontier.
+   */
+  def mergeIncoming(frontier: DataFrame, incoming: DataFrame, now: Double): DataFrame = {
+    import incoming.sparkSession.implicits._
+    val keys = Seq("project", "url_hash")
+    // in-batch last-write-wins dedup of the incoming batch (F3) made
+    // deterministic: highest updatetime, then lexicographic-max payload
+    val inc = incoming
+      .withColumn("rn", row_number().over(Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("updatetime").desc, col("url").asc)))
+      .where($"rn" === 1).drop("rn")
+      .select(frontierCols.map(c => col(c).as("i_" + c)): _*)
+      .withColumnRenamed("i_project", "project")
+      .withColumnRenamed("i_url_hash", "url_hash")
+
+    val joined = frontier.join(inc, keys, "full_outer")
+    val isNew = $"status".isNull
+    val restart =
+      ($"i_itag".isNotNull && !($"i_itag" <=> $"itag")) ||
+        ($"i_age" >= 0 && $"lastcrawltime" + $"i_age" < now) ||
+        $"i_force_update"
+    val cancelled = $"i_cancel" && $"i_force_update"
+
+    def merged(c: String): Column = c match {
+      case "status" =>
+        when(isNew, lit(TaskStatus.Active))
+          .otherwise(when($"i_url".isNotNull && restart,
+            when(cancelled, lit(TaskStatus.Bad)).otherwise(lit(TaskStatus.Active)))
+            .otherwise($"status"))
+      case "lastcrawltime" => coalesce($"lastcrawltime", lit(0.0))
+      case "updatetime" =>
+        when(isNew || ($"i_url".isNotNull && restart), lit(now)).otherwise($"updatetime")
+      case "project" | "url_hash" => col(c)
+      case other =>
+        // schedule/payload columns: replaced on new or restart, kept otherwise
+        when(isNew || ($"i_url".isNotNull && restart), col("i_" + other)).otherwise(col(other))
+    }
+    joined.select(frontierCols.map(c => merged(c).as(c)): _*)
+  }
+
   private def ladder(cfg: Config)(retried: Column): Column =
     cfg.retryDelays.zipWithIndex.foldLeft(lit(cfg.retryDefault)) { case (acc, (d, i)) =>
       when(retried === i, lit(d)).otherwise(acc)

@@ -50,13 +50,13 @@ object StreamingCrawl {
         val budgets = snap.map(_.budgets).getOrElse(Crawler.emptyBudgets(spark))
         val results = snap.map(_.results).getOrElse(Crawler.emptyResults(spark))
 
-        // merge newly arrived seeds (J1 semantics: known url_hash is ignored)
+        // merge newly arrived seeds with full on_request semantics (J1/F5/F6:
+        // unknown -> insert; known + force_update/itag/age -> restart)
         val newSeeds = batch.select("project", "url").collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq
         if (newSeeds.nonEmpty) {
-          val seedRows = Crawler.seedFrontier(spark, newSeeds, now)
-            .join(frontier.select("project", "url_hash"), Seq("project", "url_hash"), "left_anti")
-          frontier = frontier.unionByName(seedRows)
+          frontier = Superstep.mergeIncoming(frontier,
+            Crawler.seedFrontier(spark, newSeeds, now), now)
         }
 
         val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
