@@ -101,6 +101,10 @@ object Udfs {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Spark 4's runtime row-level bloom filter injection for shuffle joins
+      // (SURVEY §4: evaluate before hand-rolling) — complements the explicit
+      // driver-held seen-set Bloom in Crawler
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
