@@ -112,9 +112,12 @@ object Bench {
           "java.base/sun.nio.ch", "java.base/sun.nio.cs",
           "java.base/sun.security.action", "java.base/sun.util.calendar"
         ).flatMap(m => Seq("--add-opens", s"$m=ALL-UNNAMED"))
-        val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")
+        // fixed pre-touched heap: an elastic heap makes the kernel zero pages
+        // inside the measurement (observed 35-87% SYSTEM cpu at 32 threads)
+        val xmx = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM", "24g")
         val cmd = Seq(javaBin) ++ opens ++ Seq(
-          s"-Xmx$xmx", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          s"-Xms$xmx", s"-Xmx$xmx", "-XX:+AlwaysPreTouch",
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
           "-cp", System.getProperty("java.class.path"),
           "graft.ScalingRun", p.toString, scaleN.toString, scaleReps.toString)
         val out = new StringBuilder
@@ -130,7 +133,7 @@ object Bench {
       // the sandbox VM shows time-varying CPU steal/throttle: alternate the
       // two levels and keep the best rate per level, so a throttled window
       // doesn't land entirely on one side of the ratio
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
       var r8 = -1.0; var r32 = -1.0
       (1 to rounds).foreach { _ =>
         r8 = math.max(r8, runForked(8))

@@ -104,7 +104,8 @@ object Udfs {
       // Spark 4's runtime row-level bloom filter injection for shuffle joins
       // (SURVEY §4: evaluate before hand-rolling) — complements the explicit
       // driver-held seen-set Bloom in Crawler
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
