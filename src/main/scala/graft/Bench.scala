@@ -51,11 +51,18 @@ object Bench {
       .agg(max("priority").as("priority"), min("id").as("first_id"),
         first("host", ignoreNulls = true).as("host"))
     val fresh = merged.join(seen, Seq("url_hash"), "left_anti")
-    val selected = fresh
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("host")
-          .orderBy(col("priority").desc, col("url_hash").asc)))
-      .where(col("rnk") <= 50)
+    // ranked politeness selection via the partial-aggregable bounded heap
+    // (TopKSelect) — no per-partition full sort; window fallback otherwise
+    val selected =
+      if (spark.catalog.functionExists("topk_select"))
+        fresh.groupBy("host")
+          .agg(expr("topk_select(50, priority, cast(0.0 as double), url_hash)").as("sel"))
+          .select(explode(col("sel")).as("url_hash"))
+      else
+        fresh.withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("host")
+              .orderBy(col("priority").desc, col("url_hash").asc)))
+          .where(col("rnk") <= 50)
     selected.count()
   }
 

@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("url_host"),
         new ExpressionInfo(classOf[UrlHost].getName, "url_host"),
         (args: Seq[Expression]) => UrlHost(args.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("topk_select"),
+        new ExpressionInfo(classOf[graft.sched.TopKSelect].getName, "topk_select"),
+        (args: Seq[Expression]) => graft.sched.TopKSelect(args(0), args(1), args(2), args(3))))
   }
 }

@@ -33,7 +33,12 @@ object Superstep {
       retryDelays: Seq[Double] = Seq(30, 3600, 21600, 43200),
       retryDefault: Double = 86400,
       /** broadcast the robots side of the gate join (small host count). */
-      broadcastRobots: Boolean = true)
+      broadcastRobots: Boolean = true,
+      /** W1 selection via the partial-aggregable bounded-heap aggregate
+        * (TopKSelect) instead of a window sort — the scale path: O(n log k)
+        * per task, map-side combining, hot hosts parallelize. Falls back to
+        * the window when the function is not registered. */
+      topKAggSelection: Boolean = true)
 
   final case class StepResult(
       frontier: DataFrame,
@@ -169,13 +174,29 @@ object Superstep {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- W1 (+W5): ranked selection under the budget
-    val hostW = Window.partitionBy($"project", $"host")
-      .orderBy($"priority".desc, $"exetime".asc, $"url_hash".asc)
-    var selected = ready
+    val withBudget = ready
       .join(budgeted.select($"project", $"host", $"allowed"), Seq("project", "host"))
-      .withColumn("rnk", row_number().over(hostW))
-      .where($"rnk" <= $"allowed")
-      .drop("rnk", "allowed")
+    val useTopK = cfg.topKAggSelection && spark.catalog.functionExists("topk_select")
+    var selected =
+      if (useTopK) {
+        // aggregate keeps W1's exact order (priority desc, exetime asc,
+        // url_hash asc); join back by identity (url_hash is unique per
+        // project), left semi — broadcastable when budgets are small
+        val selIds = withBudget
+          .groupBy($"project", $"host")
+          .agg(expr("topk_select(allowed, priority, exetime, url_hash)").as("sel"))
+          .select($"project", explode($"sel").as("url_hash"))
+        withBudget
+          .join(selIds, Seq("project", "url_hash"), "left_semi")
+          .drop("allowed")
+      } else {
+        val hostW = Window.partitionBy($"project", $"host")
+          .orderBy($"priority".desc, $"exetime".asc, $"url_hash".asc)
+        withBudget
+          .withColumn("rnk", row_number().over(hostW))
+          .where($"rnk" <= $"allowed")
+          .drop("rnk", "allowed")
+      }
     if (cfg.perProjectLimit > 0) {
       val projW = Window.partitionBy($"project")
         .orderBy($"priority".desc, $"exetime".asc, $"url_hash".asc)
