@@ -71,7 +71,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "32000000").toLong
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
 
     var spark = Udfs.newSession(s"local[$cpus]", cpus, "graft-bench")
 
@@ -121,7 +121,7 @@ object Bench {
         ).flatMap(m => Seq("--add-opens", s"$m=ALL-UNNAMED"))
         // fixed pre-touched heap: an elastic heap makes the kernel zero pages
         // inside the measurement (observed 35-87% SYSTEM cpu at 32 threads)
-        val xmx = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM", "24g")
+        val xmx = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM", "16g")
         val cmd = Seq(javaBin) ++ opens ++ Seq(
           s"-Xms$xmx", s"-Xmx$xmx", "-XX:+AlwaysPreTouch",
           "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -140,7 +140,7 @@ object Bench {
       // the sandbox VM shows time-varying CPU steal/throttle: alternate the
       // two levels and keep the best rate per level, so a throttled window
       // doesn't land entirely on one side of the ratio
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
       var r8 = -1.0; var r32 = -1.0
       (1 to rounds).foreach { _ =>
         r8 = math.max(r8, runForked(8))

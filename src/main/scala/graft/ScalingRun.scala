@@ -30,7 +30,6 @@ object ScalingRun {
       })
     }
     Bench.scheduleDedupJob(s, n / 8, n / 16) // JIT + codegen warmup
-    Bench.scheduleDedupJob(s, n / 4, n / 8) // second warmup: C2-compile the hot loops
     val best = (1 to reps).map { _ =>
       System.gc()
       val t0 = System.nanoTime()
