@@ -66,48 +66,89 @@ object Bench {
     selected.count()
   }
 
+  // Incrementally-built result state: the shutdown hook prints whatever is
+  // complete if the JVM dies mid-bench (Spark's uncaught-OOM handler exits
+  // via System.exit(52), which DOES run shutdown hooks) — round 1 lost 26
+  // minutes of measurements to a single terminal print.
+  @volatile private var queriesJson = "{}"
+  @volatile private var totalSec = 0.0
+  @volatile private var crawlJson = "null"
+  @volatile private var scalingJson = "null"
+  @volatile private var sfDirState = ""
+  private val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def emitJson(): Unit = if (printed.compareAndSet(false, true)) {
+    println(f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDirState","crawl":$crawlJson,"scaling":$scalingJson}""")
+    System.out.flush()
+  }
+
+  /** Drop every cached/persisted dataset (incl. localCheckpoints) between
+    * sections so one section's working set can't OOM the next. */
+  private def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "32000000").toLong
     val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
+    sfDirState = sfDir
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emitJson()))
 
-    var spark = Udfs.newSession(s"local[$cpus]", cpus, "graft-bench")
+    val spark = Udfs.newSession(s"local[$cpus]", cpus, "graft-bench")
 
-    // ---- per-query timings
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+    // ---- per-query timings (state updated after every query: a crash mid-
+    // section still reports the queries measured so far)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val (_, sec) = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+        }
+        results += (name -> sec)
+        queriesJson = results.map { case (k, v) => "\"" + k + f"\":${v}%.3f" }.mkString("{", ",", "}")
+        totalSec = results.map(_._2).filter(_ >= 0).sum
+        releaseAll(spark) // queries like c1 persist crawl intermediates
       }
-      name -> sec
-    }
+    } catch { case e: Throwable => System.err.println(s"[bench] query section died: $e") }
+    releaseAll(spark)
 
     // ---- full-crawl throughput (the BASELINE metric at bench scale)
     val crawlCfg = PageGen.Config(nHosts = 2000, pagesPerHost = 60, hotHosts = 20,
       hotFactor = 5, fanout = 8)
     def crawlBench(spark0: SparkSession): (Long, Long, Long) = {
       import spark0.implicits._
+      // DISK_ONLY: page html lives in spark.local.dir (tmpfs), not JVM heap
       val pages = PageGen.pages(spark0, crawlCfg).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       pages.count()
       val projects = Seq(("bench", 1e9, 1e9)).toDF("name", "rate", "burst")
       val seeds = (0 until 1000).map(h => "bench" -> s"http://host$h.example.com/page/1")
       val run = Crawler.run(spark0, pages, projects, seeds,
-        Crawler.CrawlConfig(maxSteps = 4))
+        Crawler.CrawlConfig(maxSteps = 4,
+          pagesStorage = org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val nRes = run.results.count()
       pages.unpersist()
-      (run.totalScheduled, run.totalFresh, run.results.count())
+      (run.totalScheduled, run.totalFresh, nRes)
     }
-    val (crawlStats, crawlSec) = time(crawlBench(spark))
-    val crawlUrls = crawlStats._1 + crawlStats._2
-    val crawlRate = crawlUrls / crawlSec
+    try {
+      val (crawlStats, crawlSec) = time(crawlBench(spark))
+      val crawlUrls = crawlStats._1 + crawlStats._2
+      val crawlRate = crawlUrls / crawlSec
+      crawlJson =
+        f"""{"pages":${PageGen.totalPages(crawlCfg)},"urls_scheduled_plus_new":$crawlUrls,"results":${crawlStats._3},"sec":${crawlSec}%.2f,"urls_per_sec":${crawlRate}%.0f}"""
+    } catch { case e: Throwable => System.err.println(s"[bench] crawl section died: $e") }
+    releaseAll(spark)
 
     // ---- scaling evidence: same job, two parallelism levels, each in a
     // FRESH forked JVM (shared-heap/JIT state otherwise biases whichever
     // level runs second — observed ±30% swings in-process)
-    var scalingJson = "null"
-    if (doScaling) {
+    if (doScaling) try {
       def runForked(p: Int): Double = {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val opens = Seq(
@@ -150,13 +191,9 @@ object Bench {
         val eff = (r32 / r8) / 4.0
         scalingJson = f"""{"job":"schedule_dedup","n_urls":$scaleN,"urls_per_sec_local8":${r8}%.0f,"urls_per_sec_local32":${r32}%.0f,"efficiency_8_to_32":${eff}%.3f}"""
       }
-    }
+    } catch { case e: Throwable => System.err.println(s"[bench] scaling section died: $e") }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":${v}%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val crawlJson =
-      f"""{"pages":${PageGen.totalPages(crawlCfg)},"urls_scheduled_plus_new":$crawlUrls,"results":${crawlStats._3},"sec":${crawlSec}%.2f,"urls_per_sec":${crawlRate}%.0f}"""
-    println(f"""{"metric":"total","value":${total}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson,"scaling":$scalingJson}""")
+    emitJson()
     spark.stop()
   }
 }

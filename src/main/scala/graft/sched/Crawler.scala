@@ -24,7 +24,15 @@ object Crawler {
       maxSteps: Int = 10,
       /** bloom pre-filter for the URL-seen anti-join; <=0 disables */
       bloomExpectedItems: Long = 0L,
-      bloomFpp: Double = 0.01)
+      bloomFpp: Double = 0.01,
+      /** robots gate join is broadcast only while the robots table stays
+        * under this host count; beyond it (web scale: one row per host) it
+        * falls back to a shuffle join keyed by host */
+      broadcastRobotsMaxHosts: Long = 100000L,
+      /** storage level for the prepared pages index (html bytes); DISK_ONLY
+        * keeps a large pages table out of executor heap */
+      pagesStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   final case class CrawlRun(
       steps: Int,
@@ -79,8 +87,14 @@ object Crawler {
       store: Option[FrontierStore] = None): CrawlRun = {
 
     val (pagesIdx, robots) = Superstep.preparePages(spark, pages)
-    pagesIdx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pagesIdx.persist(cfg.pagesStorage)
     robots.persist()
+    // size-gate the robots broadcast ONCE per crawl (robots is persisted, the
+    // count is one cheap scan): at web scale (one row per host) an
+    // unconditional broadcast would OOM the driver/executors
+    val robotsHosts = robots.count()
+    val stepCfg = cfg.step.copy(broadcastRobots =
+      cfg.step.broadcastRobots && robotsHosts <= cfg.broadcastRobotsMaxHosts)
 
     // resume or init
     val resumed = store.flatMap(_.read(spark))
@@ -104,6 +118,14 @@ object Crawler {
     var totalFresh = 0L
     val counters = Seq.newBuilder[DataFrame]
     var done = false
+    // exact remaining-ACTIVE count: one scan at start/resume, then pure
+    // arithmetic from the per-step status deltas (fresh inserts are ACTIVE;
+    // terminal transitions are SUCCESS/FAILED). "Nothing dispatched this
+    // tick" is NOT emptiness — retry backoff (exetime in the future) and
+    // sub-1-token politeness refills legitimately schedule 0 while ACTIVE
+    // tasks remain, and the crawl must keep ticking.
+    var activeRemaining = frontier
+      .where(col("status") === TaskStatus.Active).count()
 
     while (!done && stepNo < cfg.maxSteps) {
       val now = cfg.now0 + (stepNo + 1) * cfg.tick
@@ -113,7 +135,7 @@ object Crawler {
         (c: org.apache.spark.sql.Column) => f(c)
       }
       val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots, projects,
-        now, cfg.step, mc)
+        now, stepCfg, mc)
 
       val newResultsAll = results.unionByName(
         // first-writer-wins upsert by url_hash (REPLACE INTO + one-crawl-per-url)
@@ -146,10 +168,14 @@ object Crawler {
       totalScheduled += r.scheduled
       totalFresh += r.fresh
       r.unpersistAll()
-      // superstep sees frontier emptiness exactly (SURVEY §2.10)
-      done = r.scheduled == 0 && r.fresh == 0
+      // terminate only when no ACTIVE task remains anywhere — scheduled==0
+      // alone can be a backoff/politeness lull, not emptiness
+      activeRemaining += r.fresh - (r.doneSuccess + r.failed)
+      done = activeRemaining == 0
     }
 
+    pagesIdx.unpersist(false)
+    robots.unpersist(false)
     CrawlRun(stepNo, totalScheduled, totalFresh, frontier, results, counters.result())
   }
 }

@@ -47,6 +47,11 @@ object Superstep {
       counters: DataFrame,
       scheduled: Long,
       fresh: Long,
+      /** selected tasks that reached terminal SUCCESS this step (excludes
+        * auto_recrawl successes, which stay ACTIVE) */
+      doneSuccess: Long = 0L,
+      /** selected tasks that exhausted retries -> FAILED this step */
+      failed: Long = 0L,
       /** intermediate persisted frames — caller unpersists after materializing */
       cached: Seq[DataFrame] = Nil) {
     def unpersistAll(): Unit = cached.foreach(_.unpersist(false))
@@ -59,7 +64,15 @@ object Superstep {
 
   /** Pages side of the fetch join, prepared ONCE per crawl: canonical key +
     * xxhash64 identity, bucket-partitioned by the join key so every
-    * superstep's sort-merge/shuffle-hash join sees a stable layout. */
+    * superstep's sort-merge/shuffle-hash join sees a stable layout.
+    *
+    * Dedup ("first capture wins", deterministic by hash of bytes) uses a
+    * partial-aggregable `min_by` hash aggregate — NOT a window sort — so a
+    * 100 TB pages table combines map-side instead of full-shuffling +
+    * per-key-sorting html bytes. The robots side is deduped per host the
+    * same way (duplicate robots.txt captures would otherwise fan out the
+    * per-host gate join and break the (project, url_hash) identity
+    * invariant downstream). */
   def preparePages(spark: SparkSession, pages: DataFrame): (DataFrame, DataFrame) = {
     val canon = expr("canonicalize_url(url)")
     val withKeys = pages
@@ -68,14 +81,14 @@ object Superstep {
       .withColumn("page_host", expr("url_host(curl)"))
     val robots = withKeys
       .filter(expr("parse_url(curl, 'PATH')") === "/robots.txt")
-      .select(col("page_host").as("host"), expr("extract_text(html)").as("robots_txt"))
+      .groupBy(col("page_host").as("host"))
+      .agg(min_by(col("html"), xxhash64(col("html"))).as("rhtml"))
+      .select(col("host"), expr("extract_text(rhtml)").as("robots_txt"))
     val content = withKeys
       .filter(expr("parse_url(curl, 'PATH')") =!= "/robots.txt")
-      .select(col("page_hash"), col("curl").as("page_url"), col("html"))
-      // first capture wins on duplicate canonical urls (deterministic by hash of bytes)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("page_hash")).orderBy(xxhash64(col("html")).asc)))
-      .where(col("rn") === 1).drop("rn")
+      .groupBy(col("page_hash"))
+      .agg(min_by(struct(col("curl"), col("html")), xxhash64(col("html"))).as("m"))
+      .select(col("page_hash"), col("m.curl").as("page_url"), col("m.html").as("html"))
     (content, robots)
   }
 
@@ -111,7 +124,10 @@ object Superstep {
       ($"i_itag".isNotNull && !($"i_itag" <=> $"itag")) ||
         ($"i_age" >= 0 && $"lastcrawltime" + $"i_age" < now) ||
         $"i_force_update"
-    val cancelled = $"i_cancel" && $"i_force_update"
+    // cancel fires whenever the restart predicate fired AND cancel is set
+    // (scheduler.py:287-292 checks cancel inside on_old_request's restart
+    // branch — itag change / age expiry / force_update all reach it)
+    val cancelled = $"i_cancel"
 
     def merged(c: String): Column = c match {
       case "status" =>
@@ -217,7 +233,10 @@ object Superstep {
       .join(robotsSide, Seq("host"), "left_outer")
       .withColumn("robots_ok",
         if (cfg.respectRobots)
-          expr(s"robots_can_fetch(robots_txt, '${cfg.userAgent}', parse_url(url, 'PATH'))")
+          // call_udf, not SQL-string splicing: a user agent containing a
+          // quote must not be able to alter the expression
+          call_udf("robots_can_fetch", col("robots_txt"), lit(cfg.userAgent),
+            expr("parse_url(url, 'PATH')"))
         else lit(true))
       .withColumn("fetch_ok", $"html".isNotNull && $"robots_ok")
       .withColumn("page_text", when($"fetch_ok", expr("extract_text(html)")))
@@ -336,6 +355,10 @@ object Superstep {
       sum(when($"fetch_ok", 1L).otherwise(0L)).as("fetched"))
     val cUpd = updates.groupBy($"project").agg(
       sum(when($"fetch_ok", 1L).otherwise(0L)).as("succeeded"),
+      // done_success excludes auto_recrawl successes (those stay ACTIVE):
+      // the exact per-status deltas let the crawl loop track the remaining
+      // ACTIVE count arithmetically instead of rescanning the frontier
+      sum(when($"new_status" === TaskStatus.Success, 1L).otherwise(0L)).as("done_success"),
       sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Failed, 1L).otherwise(0L)).as("failed_now"),
       sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Active, 1L).otherwise(0L)).as("retried"))
     val cNew = fresh.groupBy($"project").agg(
@@ -357,8 +380,11 @@ object Superstep {
       spark.sparkContext.parallelize(counterRows.toIndexedSeq, 1), countersDf.schema)
     val scheduledCnt = counterRows.map(_.getAs[Long]("scheduled")).sum
     val freshCnt = counterRows.map(_.getAs[Long]("new_tasks")).sum
+    val doneCnt = counterRows.map(_.getAs[Long]("done_success")).sum
+    val failedCnt = counterRows.map(_.getAs[Long]("failed_now")).sum
 
     StepResult(merged, nextBudgets, newResults, counters, scheduledCnt, freshCnt,
+      doneSuccess = doneCnt, failed = failedCnt,
       cached = Seq(budgeted, fetched, candidates, fresh))
   }
 }

@@ -24,7 +24,12 @@ object Robots {
   final case class RobotsRules(groups: Seq[Group]) {
     def canFetch(userAgent: String, path: String): Boolean = {
       val ua = userAgent.split("/", 2)(0).toLowerCase
-      val applicable = groups.find(g => g.agents.exists(a => a == "*" || ua.contains(a)))
+      // robotparser semantics: a group containing "*" is the DEFAULT entry,
+      // consulted only after every UA-specific group failed to match — file
+      // order does not promote it ("User-agent: *" first must not shadow a
+      // later "User-agent: graftbot" group).
+      val applicable = groups
+        .find(g => !g.agents.contains("*") && g.agents.exists(a => ua.contains(a)))
         .orElse(groups.find(_.agents.contains("*")))
       applicable match {
         case None => true

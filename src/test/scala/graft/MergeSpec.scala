@@ -78,6 +78,17 @@ class MergeSpec extends AnyFunSuite {
     assert(statusOf(out, 1L) == TaskStatus.Bad)
   }
 
+  test("cancel + itag-change restart marks BAD too (on_old_request checks cancel on ANY restart)") {
+    val frontier = df(Seq(row(1L, TaskStatus.Success, itag = "v1", lct = now - 10),
+      row(2L, TaskStatus.Success, itag = "v1", lct = now - 10)))
+    val incoming = df(Seq(
+      row(1L, TaskStatus.Active, itag = "v2", cancel = true), // restart via itag + cancel
+      row(2L, TaskStatus.Active, itag = "v1", cancel = true))) // no restart -> ignored
+    val out = Superstep.mergeIncoming(frontier, incoming, now)
+    assert(statusOf(out, 1L) == TaskStatus.Bad)
+    assert(statusOf(out, 2L) == TaskStatus.Success)
+  }
+
   test("in-batch dedup: last write wins deterministically (F3)") {
     val frontier = df(Seq.empty)
     val a = row(1L, TaskStatus.Active)

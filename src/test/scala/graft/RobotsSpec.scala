@@ -43,6 +43,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(r.canFetch("otherbot", "/only-sspider/x"))
   }
 
+  test("'*' group first in file does NOT shadow a later UA-specific group (robotparser default-entry order)") {
+    val r = Robots.parse(
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow:
+        |""".stripMargin)
+    // robotparser checks UA-specific entries before the '*' default entry
+    // regardless of file position
+    assert(r.canFetch("graftbot/1.0", "/anything"))
+    assert(!r.canFetch("otherbot", "/anything"))
+  }
+
   test("empty Disallow means allow-all (robotparser RuleLine)") {
     val r = Robots.parse("User-agent: *\nDisallow:")
     assert(r.canFetch("bot", "/anything"))
