@@ -159,6 +159,20 @@ object SparkEntry {
         .count().withColumnRenamed("count", "cnt")
         .orderBy("event_type", "hour")
     }),
+    "a4b_trailing_rates" -> ((s, dir) => {
+      // A4: the reference's TRAILING sliding-window rate counters
+      // (counter.py:184-258 keeps 30x10s / 60x60s / 144x600s trailing
+      // buckets) — expressed as event-time range-between windows: per event,
+      // the count of same-type events in the last 5 minutes / 1 hour
+      val ev = t(s, dir, "events")
+        .selectExpr("event_id", "event_type", "cast(unix_timestamp(ts) as long) as es")
+      val w5m = Window.partitionBy("event_type").orderBy("es").rangeBetween(-300, 0)
+      val w1h = Window.partitionBy("event_type").orderBy("es").rangeBetween(-3600, 0)
+      ev.withColumn("cnt_5m", count(lit(1)).over(w5m))
+        .withColumn("cnt_1h", count(lit(1)).over(w1h))
+        .select("event_id", "event_type", "cnt_5m", "cnt_1h")
+        .orderBy("event_id")
+    }),
     "a7_token_budget" -> ((s, dir) => {
       // A7: politeness token budget arithmetic per host
       t(s, dir, "events").selectExpr("user_id % 40 as host_id")
@@ -237,16 +251,21 @@ object SparkEntry {
     }),
     "d3_minhash_lsh" -> ((s, dir) => {
       // MinHash+LSH near-dup candidates: shingle -> signature -> band ->
-      // bucket join (no O(n^2) cross join), then exact jaccard verify
+      // bucket join (no O(n^2) cross join), then exact jaccard verify.
+      // The band shuffle carries (doc_id, band) ONLY — document text joins
+      // back by id for the verify stage, never fanning out x16 through the
+      // band exchange (the 100 TB-scale discipline).
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val bands = docs.selectExpr("doc_id", "text",
+      val bands = docs.selectExpr("doc_id",
         "explode(minhash_bands(minhash_sig(text, 3, 64), 16)) as band")
       val pairs = bands.as("a").join(bands.as("b"),
           expr("a.band = b.band and a.doc_id < b.doc_id"))
-        .selectExpr("a.doc_id as a_id", "b.doc_id as b_id",
-          "a.text as ta", "b.text as tb")
+        .selectExpr("a.doc_id as a_id", "b.doc_id as b_id")
         .distinct()
-      pairs.selectExpr("a_id", "b_id", "round(ngram_jaccard(ta, tb, 3), 4) as jaccard")
+      pairs
+        .join(docs.selectExpr("doc_id as a_id", "text as ta"), "a_id")
+        .join(docs.selectExpr("doc_id as b_id", "text as tb"), "b_id")
+        .selectExpr("a_id", "b_id", "round(ngram_jaccard(ta, tb, 3), 4) as jaccard")
         .where("jaccard >= 0.4").orderBy("a_id", "b_id")
     }),
     "d4_ngram_jaccard" -> ((s, dir) => {
@@ -334,10 +353,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "m2_mm_features" -> ((s, dir) => {
-      // partition-local batch decode + feature extraction (mapInPandas analogue)
+      // partition-local batch decode + feature extraction (mapInPandas
+      // analogue). Output is all-scalar (the oracle harness sorts/hashes
+      // columns — array columns are unhashable there): typed metadata plus
+      // the L1 mass of the feature vector (exactly 1.0 for any decodable
+      // blob); the per-bucket feature values are golden-tested in
+      // MultimodalSpec.
       val media = t(s, dir, "documents")
         .selectExpr("doc_id as media_id", "mm_synth_blob(doc_id, cast(doc_id % 3 as int)) as blob")
-      graft.mm.Multimodal.extractFeatures(s, media).orderBy("media_id")
+      graft.mm.Multimodal.extractFeatures(s, media)
+        .selectExpr("media_id", "cast(media_type as bigint) as media_type",
+          "cast(width as bigint) as width", "cast(height as bigint) as height",
+          "cast(frames as bigint) as frames",
+          "round(aggregate(features, cast(0.0 as double), (a, x) -> a + x), 2) as feat_sum")
+        .orderBy("media_id")
     }),
     "m3_mm_resize_sample" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -364,9 +393,55 @@ object SparkEntry {
     })
   )
 
+  // ---- DuckDB-side 64-bit modular arithmetic helpers (HUGEINT = signed
+  // int128): the custom hash functions (FNV-1a, splitmix64) are reproduced
+  // EXACTLY in the oracle so the driver independently recomputes simhash /
+  // fingerprint / LSH keys instead of trusting the Scala implementation.
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private val S63 = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
+  private val B32 = "CAST(4294967296 AS HUGEINT)" // 2^32
+  /** xor of two uint64-valued HUGEINT exprs via 32-bit halves (BIGINT xor). */
+  private def xor64(a: String, b: String): String =
+    s"(CAST(xor(CAST(($a) // $B32 AS BIGINT), CAST(($b) // $B32 AS BIGINT)) AS HUGEINT) * $B32" +
+      s" + CAST(xor(CAST(($a) % $B32 AS BIGINT), CAST(($b) % $B32 AS BIGINT)) AS HUGEINT))"
+  /** (a * c) mod 2^64 without overflowing int128: split c into 32-bit halves. */
+  private def mulMod64(a: String, c: BigInt): String = {
+    val bh = c >> 32; val bl = c & 0xffffffffL
+    if (bh == 0) s"((($a) * $bl) % $M64)"
+    else s"(((($a) * $bl % $M64) + (((($a) % $B32) * $bh) % $B32) * $B32) % $M64)"
+  }
+  /** splitmix64 (TextStats.mix64) of a uint64-valued column named `zc`,
+    * staged over CTEs `n1..n3` built on top of `from0`; yields a CTE chain
+    * whose final relation `mixOut` has columns (keep*, mixed). */
+  private def mix64Cte(from0: String, zc: String, keep: String): String = {
+    val c1 = BigInt("13787848793156543929") // 0xbf58476d1ce4e5b9
+    val c2 = BigInt("10723151780598845931") // 0x94d049bb133111eb
+    s"""m1 AS (SELECT $keep, (($zc) + CAST('11400714819323198485' AS HUGEINT)) % $M64 AS z1 FROM $from0),
+m2x AS (SELECT $keep, ${mulMod64(xor64("z1", "z1 // CAST(1073741824 AS HUGEINT)"), c1)} AS z2 FROM m1),
+m3x AS (SELECT $keep, ${mulMod64(xor64("z2", "z2 // CAST(134217728 AS HUGEINT)"), c2)} AS z3 FROM m2x),
+mixOut AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")} AS mixed FROM m3x)"""
+  }
+  /** FNV-1a 64 over the chars of a VARCHAR expr (ASCII fixture contract:
+    * chars < 128, so the xor touches only the low 7 bits). */
+  private def fnv64(tokExpr: String): String = {
+    val step = mulMod64(
+      "h - h % 128 + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)",
+      BigInt("1099511628211")) // 0x100000001b3
+    s"""list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      list_transform(string_split($tokExpr, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      (h, c) -> $step)"""
+  }
+  private val stopwordsSql = Map(
+    "en" -> "'the','a','an','and','of','to','in','is','it','that','for','on','with','as','are','this'",
+    "de" -> "'der','die','das','und','ist','ein','eine','zu','den','von','mit','nicht','auf','für','im'",
+    "fr" -> "'le','la','les','et','est','un','une','de','des','du','que','pour','dans','sur','pas'",
+    "es" -> "'el','la','los','las','y','es','un','una','de','del','que','para','en','por','no'")
+
   def oracleSql: Map[String, String] = {
     val urlsCte =
       """WITH urls AS (SELECT event_id, 'http://host' || CAST(user_id % 40 AS VARCHAR) || '.test/p/' || CAST(event_id % 2000 AS VARCHAR) AS url, user_id % 40 AS host_id, CAST(length(event_type) AS BIGINT) AS priority FROM events)"""
+    val toksCte =
+      """tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks FROM documents)"""
     Map(
       "s1_scan_prune" ->
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
@@ -425,10 +500,107 @@ object SparkEntry {
       "m1_mm_meta" ->
         """SELECT doc_id, doc_id % 3 AS media_type, CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS BIGINT) AS channels, 32 + doc_id % 96 AS width, 32 + (doc_id // 128) % 96 AS height, CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + (doc_id // 8192) % 30 ELSE 1 END AS BIGINT) AS frames FROM documents ORDER BY doc_id""",
       "m3_mm_resize_sample" ->
-        """SELECT doc_id, CAST(64 AS BIGINT) AS rw, CAST(48 AS BIGINT) AS rh, CAST(CASE WHEN doc_id % 3 = 2 THEN (1 + (doc_id // 8192) % 30 + 4) // 5 ELSE 0 END AS BIGINT) AS sampled FROM documents ORDER BY doc_id"""
-      // d2/d3/d4, t1/t3/t4/t5, v2, c1: non-SQL-expressible operator semantics
-      // (custom hashing / heuristics / the crawl itself) -> rows-only check;
-      // each is covered by a ScalaTest spec instead.
+        """SELECT doc_id, CAST(64 AS BIGINT) AS rw, CAST(48 AS BIGINT) AS rh, CAST(CASE WHEN doc_id % 3 = 2 THEN (1 + (doc_id // 8192) % 30 + 4) // 5 ELSE 0 END AS BIGINT) AS sampled FROM documents ORDER BY doc_id""",
+      "m2_mm_features" ->
+        """SELECT doc_id AS media_id, doc_id % 3 AS media_type, 32 + doc_id % 96 AS width, 32 + (doc_id // 128) % 96 AS height, CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + (doc_id // 8192) % 30 ELSE 1 END AS BIGINT) AS frames, 1.0 AS feat_sum FROM documents ORDER BY media_id""",
+      "a4b_trailing_rates" ->
+        """SELECT event_id, event_type, count(*) OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS cnt_5m, count(*) OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_1h FROM events ORDER BY event_id""",
+      "t1_lang_id" -> {
+        val hits = Seq("en", "de", "fr", "es").map(l =>
+          s"len(list_filter(toks, t -> t IN (${stopwordsSql(l)}))) AS $l").mkString(", ")
+        s"""WITH $toksCte,
+h AS (SELECT doc_id, $hits FROM tk)
+SELECT doc_id, CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+  WHEN en = greatest(en,de,fr,es) THEN 'en'
+  WHEN de = greatest(en,de,fr,es) THEN 'de'
+  WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+  ELSE 'es' END AS lang_pred
+FROM h ORDER BY doc_id"""
+      },
+      "t3_quality" -> {
+        val allSw = stopwordsSql.values.mkString(",")
+        s"""WITH tk AS (SELECT doc_id, text, length(text) AS n,
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),
+c AS (SELECT doc_id, n, toks,
+    least(1.0, n / 500.0) * (CASE WHEN n > 100000 THEN 0.5 ELSE 1.0 END) AS len_score,
+    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / n AS punct_ratio,
+    len(list_filter(toks, t -> t IN ($allSw))) * 1.0 / len(toks) AS sw_ratio,
+    list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS mean_word
+  FROM tk),
+s AS (SELECT doc_id,
+    0.3 * len_score
+  + 0.25 * (CASE WHEN punct_ratio > 0.3 THEN 0.0 ELSE 1.0 - punct_ratio / 0.3 END)
+  + 0.2 * least(1.0, sw_ratio / 0.2)
+  + 0.25 * (CASE WHEN mean_word >= 2.5 AND mean_word <= 10.0 THEN 1.0 ELSE 0.3 END) AS sc
+  FROM c)
+SELECT doc_id, round(sc * 1e6) / 1e6 AS q FROM s ORDER BY doc_id"""
+      },
+      "t4_fingerprint" -> {
+        s"""WITH nm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents),
+fp AS (SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(1125899906842597 AS HUGEINT),
+      list_transform(string_split(norm, ''), c -> CAST(unicode(c) AS HUGEINT))),
+    (h, c) -> (31 * h + c) % $M64) AS u
+  FROM nm)
+SELECT doc_id, CAST(CASE WHEN u >= $S63 THEN u - $M64 ELSE u END AS BIGINT) AS fp
+FROM fp ORDER BY doc_id"""
+      },
+      "t5_token_count_bpe" ->
+        """SELECT doc_id, CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id""",
+      "d2_simhash" ->
+        s"""WITH tk AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+  FROM documents),
+fnv AS (SELECT doc_id, ${fnv64("tok")} AS h0 FROM tk),
+${mix64Cte("fnv", "h0", "doc_id")},
+bits AS (
+  SELECT doc_id, b, sum(CAST((mixed // CAST(power(2, b) AS HUGEINT)) % 2 AS BIGINT)) AS ones, count(*) AS n
+  FROM mixOut, (SELECT unnest(range(0, 64)) AS b) bs
+  GROUP BY doc_id, b),
+shu AS (
+  SELECT doc_id, sum(CASE WHEN 2 * ones > n THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bits GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id, CAST(CASE WHEN s.u >= $S63 THEN s.u - $M64 ELSE coalesce(s.u, 0) END AS BIGINT) AS sh,
+         CAST(coalesce(s.u, 0) // CAST('281474976710656' AS HUGEINT) AS BIGINT)
+           - CASE WHEN s.u >= $S63 THEN 65536 ELSE 0 END AS bucket
+  FROM documents d LEFT JOIN shu s ON d.doc_id = s.doc_id)
+SELECT doc_id, sh, bucket FROM sh ORDER BY doc_id""",
+      "d4_ngram_jaccard" ->
+        s"""WITH $toksCte,
+g AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS gr FROM tk),
+p AS (SELECT a.doc_id AS doc_id, list_distinct(a.gr) AS ga, list_distinct(b.gr) AS gb
+  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1),
+j AS (SELECT doc_id, len(list_intersect(ga, gb)) AS inter, len(ga) + len(gb) - len(list_intersect(ga, gb)) AS un,
+    len(ga) AS la, len(gb) AS lb FROM p)
+SELECT doc_id, round(CASE WHEN la = 0 AND lb = 0 THEN 1.0 WHEN un = 0 THEN 0.0 ELSE inter * 1.0 / un END, 4) AS jac
+FROM j ORDER BY doc_id""",
+      "v2_ann_lsh" ->
+        s"""WITH pd AS (SELECT p, d, CAST(xor(42, d) AS HUGEINT) + p * $B32 AS z0
+  FROM (SELECT unnest(range(0, 8)) AS p) ps, (SELECT unnest(range(0, 64)) AS d) ds),
+${mix64Cte("pd", "z0", "p, d")},
+wd AS (SELECT p, d, CAST(CASE WHEN mixed >= $S63 THEN mixed - $M64 ELSE mixed END AS DOUBLE) / 9223372036854775807.0 AS w FROM mixOut),
+pl AS (SELECT p, list(w ORDER BY d) AS warr FROM wd GROUP BY p),
+sk AS (SELECT vec_id, embedding, p,
+    list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * warr[i]), (a, b) -> a + b) AS s
+  FROM embeddings, pl),
+ky AS (SELECT vec_id, embedding,
+    CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS INT) AS k
+  FROM sk GROUP BY vec_id, embedding),
+qp AS (SELECT vec_id AS qid, embedding AS qe, xor(k, pr) AS k
+  FROM ky, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS pr) prs
+  WHERE vec_id < 5),
+cand AS (SELECT qid, c.vec_id AS vec_id, round(CAST(list_cosine_similarity(qe, c.embedding) AS DOUBLE), 4) AS sim
+  FROM qp JOIN ky c USING (k) WHERE c.vec_id <> qid),
+agg AS (SELECT qid, vec_id, max(sim) AS sim FROM cand GROUP BY qid, vec_id),
+r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn FROM agg)
+SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn"""
+      // d3 (LSH candidate set is probabilistic — recall vs brute force is
+      // asserted in TextOpsSpec) and c1 (the crawl itself — CrawlSpec) are
+      // the only rows-only checks.
     )
   }
 }

