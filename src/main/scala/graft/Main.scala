@@ -44,11 +44,10 @@ object Main {
         }
         val projects = Seq((project, a.getOrElse("rate", "1000").toDouble,
           a.getOrElse("burst", "1000").toDouble)).toDF("name", "rate", "burst")
-        val store = a.get("checkpoint").map(new FrontierStore(_, cpus))
+        val store = a.get("checkpoint").map(new FrontierStore(_, cpus,
+          seenBuckets = a.getOrElse("seen-buckets", "64").toInt))
         val run = Crawler.run(spark, pages, projects, seeds,
-          Crawler.CrawlConfig(
-            maxSteps = a.getOrElse("steps", "5").toInt,
-            bloomExpectedItems = a.getOrElse("bloom", "0").toLong),
+          Crawler.CrawlConfig(maxSteps = a.getOrElse("steps", "5").toInt),
           store)
         val byStatus = run.frontier.groupBy("status").count().orderBy("status")
           .collect().map(r => s"status=${r.getInt(0)}:${r.getLong(1)}").mkString(" ")

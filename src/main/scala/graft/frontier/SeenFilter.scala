@@ -1,0 +1,83 @@
+package graft.frontier
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * Distributed URL-seen probe over a bucketed Bloom side-file index — the
+ * scale replacement for round 1's driver-held Bloom (which collected the
+ * whole filter to the driver and re-broadcast it every superstep; at 10^10
+ * URLs a 1% Bloom is ~12 GB on one node — a hard ceiling).
+ *
+ * Here the seen set is sharded into `numBuckets` buckets by
+ * `pmod(xxhash64(project, url_hash), numBuckets)`; each bucket owns
+ *  - a Bloom side-file (`snap-N/blooms/<b>.bloom`), rewritten only when the
+ *    bucket receives fresh keys (manifest lineage tracks the owning
+ *    snapshot), and
+ *  - key-delta parquet (`snap-N/seen-delta/bucket=<b>/`), append-only.
+ *
+ * The probe is a partition-local function: each executor lazily loads the
+ * blooms for the buckets its rows touch (JVM-wide cache keyed by file path
+ * — snapshot paths are immutable so the cache never invalidates). No
+ * driver round-trip, no per-step broadcast, memory bounded per executor by
+ * the buckets it actually probes. False positives fall through to the exact
+ * anti-join over ONLY the probed buckets' key files (partition-pruned read)
+ * — the Bloom is never the source of truth (SURVEY §2.4).
+ */
+final case class SeenFilter(
+    numBuckets: Int,
+    root: String,
+    /** bloom-owning snapshot id per bucket; 0 = bucket has no keys yet */
+    bloomOwner: Array[Long],
+    /** (snapshotId, seen-buckets touched in it) — the delta chain */
+    deltaChain: Seq[(Long, Set[Int])]) {
+
+  def bucketCol(project: Column, urlHash: Column): Column =
+    pmod(xxhash64(project, urlHash), lit(numBuckets)).cast("int")
+
+  /** might-contain probe usable as a filter column: (bucket, skey) -> bool. */
+  def probe: (Column, Column) => Column = {
+    val r = root; val owners = bloomOwner
+    val f = udf((b: Int, k: Long) => {
+      val o = owners(b)
+      o != 0L && SeenFilter.load(SeenFilter.bloomPath(r, o, b)).mightContainLong(k)
+    })
+    (bucket, skey) => f(bucket, skey)
+  }
+
+  /** Exact seen keys (project, url_hash) for the given buckets only —
+    * reads just those buckets' delta files across the snapshot chain. */
+  def keysFor(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
+    val want = buckets.toSet
+    val paths = for {
+      (snap, touched) <- deltaChain
+      b <- want if touched.contains(b)
+    } yield SeenFilter.deltaPath(root, snap, b)
+    val existing = paths.filter(p => Files.exists(Paths.get(p)))
+    if (existing.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("project", StringType), StructField("url_hash", LongType))))
+    else spark.read.parquet(existing: _*).select("project", "url_hash")
+  }
+}
+
+object SeenFilter {
+  def bloomPath(root: String, snap: Long, bucket: Int): String =
+    f"$root/snap-$snap%06d/blooms/$bucket.bloom"
+  def deltaPath(root: String, snap: Long, bucket: Int): String =
+    f"$root/snap-$snap%06d/seen-delta/bucket=$bucket"
+
+  /** Executor-JVM-wide bloom cache; snapshot files are immutable, so
+    * entries never invalidate. Bounded by the buckets an executor probes. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+  def load(path: String): BloomFilter =
+    cache.computeIfAbsent(path, p => {
+      val in = Files.newInputStream(Paths.get(p))
+      try BloomFilter.readFrom(in) finally in.close()
+    })
+  /** test hook */
+  private[frontier] def cacheSize: Int = cache.size()
+}

@@ -3,7 +3,6 @@ package graft.sched
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.util.sketch.BloomFilter
 import graft.frontier.FrontierStore
 import graft.model.TaskStatus
 
@@ -22,9 +21,6 @@ object Crawler {
       now0: Double = 1700000000.0,
       tick: Double = 1.0,
       maxSteps: Int = 10,
-      /** bloom pre-filter for the URL-seen anti-join; <=0 disables */
-      bloomExpectedItems: Long = 0L,
-      bloomFpp: Double = 0.01,
       /** robots gate join is broadcast only while the robots table stays
         * under this host count; beyond it (web scale: one row per host) it
         * falls back to a shuffle join keyed by host */
@@ -76,6 +72,10 @@ object Crawler {
   def emptyResults(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
 
+  def emptyCounters(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("project", StringType))))
+
   /**
    * Run (or resume) a crawl.
    *
@@ -96,23 +96,23 @@ object Crawler {
     val stepCfg = cfg.step.copy(broadcastRobots =
       cfg.step.broadcastRobots && robotsHosts <= cfg.broadcastRobotsMaxHosts)
 
-    // resume or init
+    // resume or init. With a store, the seed frontier is committed as
+    // snapshot 1 (bootstrap) so the seen-index covers seeds and a killed
+    // run resumes from exactly the committed state.
+    store.foreach { s =>
+      if (s.currentId.isEmpty) {
+        val sf = seedFrontier(spark, seeds, cfg.now0)
+        s.writeIncremental(spark, 0, cfg.now0, sf,
+          sf.select("project", "url_hash"), emptyBudgets(spark),
+          emptyResults(spark), emptyCounters(spark))
+      }
+    }
     val resumed = store.flatMap(_.read(spark))
     var stepNo = resumed.map(_.step).getOrElse(0)
     var frontier = resumed.map(_.frontier)
       .getOrElse(seedFrontier(spark, seeds, cfg.now0).localCheckpoint())
     var budgets = resumed.map(_.budgets).getOrElse(emptyBudgets(spark))
     var results = resumed.map(_.results).getOrElse(emptyResults(spark))
-
-    // optional driver-held bloom over already-seen url hashes (rebuilt on
-    // resume from the frontier — one scan; merged incrementally per step).
-    // False positives only route follows into the exact anti-join: the bloom
-    // is never the source of truth (SURVEY §2.4 note).
-    val bloom: Option[BloomFilter] =
-      if (cfg.bloomExpectedItems > 0) {
-        val b = frontier.stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp)
-        Some(b)
-      } else None
 
     var totalScheduled = 0L
     var totalFresh = 0L
@@ -129,41 +129,30 @@ object Crawler {
 
     while (!done && stepNo < cfg.maxSteps) {
       val now = cfg.now0 + (stepNo + 1) * cfg.tick
-      val mc = bloom.map { b =>
-        val bc = spark.sparkContext.broadcast(b)
-        val f = udf((h: Long) => bc.value.mightContainLong(h))
-        (c: org.apache.spark.sql.Column) => f(c)
-      }
+      // with a store, the URL-seen probe is the bucketed bloom side-file
+      // index (partition-local, no driver round-trip); without, the exact
+      // anti-join runs against the in-memory frontier keys
+      val seenF = store.flatMap(_.seenFilter(spark))
       val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots, projects,
-        now, stepCfg, mc)
+        now, stepCfg, seenF)
 
-      val newResultsAll = results.unionByName(
-        // first-writer-wins upsert by url_hash (REPLACE INTO + one-crawl-per-url)
-        r.newResults.join(results.select("project", "url_hash"),
-          Seq("project", "url_hash"), "left_anti"))
+      // first-writer-wins upsert by url_hash (REPLACE INTO + one-crawl-per-url)
+      val newResultsDelta = r.newResults.join(results.select("project", "url_hash"),
+        Seq("project", "url_hash"), "left_anti")
 
       stepNo += 1
       store match {
         case Some(s) =>
-          s.write(spark, stepNo, now, r.frontier, r.budgets, newResultsAll, r.counters)
+          s.writeIncremental(spark, stepNo, now, r.upserts, r.freshKeys,
+            r.budgets, newResultsDelta, r.counters)
           val snap = s.read(spark).get
           frontier = snap.frontier; budgets = snap.budgets; results = snap.results
         case None =>
           frontier = r.frontier.localCheckpoint()
           budgets = r.budgets.localCheckpoint()
-          results = newResultsAll.localCheckpoint()
+          results = results.unionByName(newResultsDelta).localCheckpoint()
       }
       counters += r.counters.withColumn("step", lit(stepNo))
-
-      // update the bloom with this step's fresh keys
-      bloom.foreach { b =>
-        if (r.fresh > 0) {
-          // must share bit size with the main filter to be mergeable
-          val nb = r.frontier.where(col("updatetime") === now && col("lastcrawltime") === 0.0)
-            .stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp)
-          b.mergeInPlace(nb)
-        }
-      }
 
       totalScheduled += r.scheduled
       totalFresh += r.fresh

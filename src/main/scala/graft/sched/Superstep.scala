@@ -52,6 +52,11 @@ object Superstep {
       doneSuccess: Long = 0L,
       /** selected tasks that exhausted retries -> FAILED this step */
       failed: Long = 0L,
+      /** full frontier rows to insert-or-replace (updated selected rows +
+        * fresh inserts) — the copy-on-write store's write unit */
+      upserts: DataFrame = null,
+      /** (project, url_hash) of the fresh inserts — seen-index delta */
+      freshKeys: DataFrame = null,
       /** intermediate persisted frames — caller unpersists after materializing */
       cached: Seq[DataFrame] = Nil) {
     def unpersistAll(): Unit = cached.foreach(_.unpersist(false))
@@ -159,13 +164,15 @@ object Superstep {
    * @param pagesIdx  prepared page content (preparePages._1)
    * @param robots    prepared robots table (preparePages._2)
    * @param projects  project dimension: name, rate, burst (broadcast side)
-   * @param seenMightContain optional bloom pre-filter over url_hash: follows
-   *   failing it are definitely-new and skip the exact anti-join probe.
+   * @param seen      optional bucketed seen-index probe (partition-local
+   *   blooms + pruned key reads): follows failing the probe are
+   *   definitely-new and skip the exact anti-join; survivors anti-join only
+   *   their buckets' key files instead of the whole frontier.
    */
   def run(spark: SparkSession, frontier: DataFrame, budgets: DataFrame,
       pagesIdx: DataFrame, robots: DataFrame, projects: DataFrame,
       now: Double, cfg: Config = Config(),
-      seenMightContain: Option[Column => Column] = None): StepResult = {
+      seen: Option[graft.frontier.SeenFilter] = None): StepResult = {
     import spark.implicits._
 
     // ---- W2: ready = exetime arrived (time queue folds into the filter)
@@ -273,21 +280,33 @@ object Superstep {
         lit(0.0).as("lastcrawltime"), lit(now).as("updatetime"), $"dups")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- J1: URL-seen anti-join, bloom-prefiltered when available
-    val frontierKeys = frontier.select($"project", $"url_hash")
-    val freshAll = seenMightContain match {
+    // ---- J1: URL-seen anti-join. With a seen-index: partition-local bloom
+    // probe first (definitely-new skips the exact check), then an exact
+    // anti-join against ONLY the probed buckets' key files — never a scan
+    // or shuffle of the whole frontier. Without: exact anti-join on the
+    // in-memory frontier keys.
+    val freshAll = seen match {
       case None =>
-        candidates.join(frontierKeys, Seq("project", "url_hash"), "left_anti")
-      case Some(mc) =>
-        val definitelyNew = candidates.where(!mc($"url_hash"))
-        val maybeSeen = candidates.where(mc($"url_hash"))
-          .join(frontierKeys, Seq("project", "url_hash"), "left_anti")
-        definitelyNew.unionByName(maybeSeen)
+        candidates.join(frontier.select($"project", $"url_hash"),
+          Seq("project", "url_hash"), "left_anti")
+      case Some(sf) =>
+        val skey = xxhash64($"project", $"url_hash")
+        val flagged = candidates
+          .withColumn("sbucket", sf.bucketCol($"project", $"url_hash"))
+          .withColumn("maybe_seen", sf.probe($"sbucket", skey))
+        val definitelyNew = flagged.where(!$"maybe_seen")
+        val maybe = flagged.where($"maybe_seen")
+        // buckets actually probed — a step-sized distinct, bounded by numBuckets
+        val bucketsHit = maybe.select($"sbucket").distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        val exact = maybe.join(sf.keysFor(spark, bucketsHit),
+          Seq("project", "url_hash"), "left_anti")
+        definitelyNew.unionByName(exact).drop("sbucket", "maybe_seen")
     }
     val fresh = freshAll.persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- W7: status merge for the selected batch
-    val updates = fetched
+    val statusCalc = fetched
       .withColumn("delay0", ladder(cfg)($"retried"))
       .withColumn("delay",
         when($"auto_recrawl" && $"age" >= 0, least($"delay0", $"age"))
@@ -304,10 +323,20 @@ object Superstep {
           .otherwise(when($"delay" < 0, $"exetime").otherwise(lit(now) + $"delay")))
       .withColumn("new_retried",
         when($"fetch_ok" || $"delay" < 0, $"retried").otherwise($"retried" + 1))
+    val updates = statusCalc
       .select($"project", $"url_hash",
         $"new_status", $"new_exetime", $"new_retried",
         lit(now).as("new_lastcrawltime"), lit(now).as("new_updatetime"),
         $"fetch_ok")
+    // full post-update rows for the selected batch — the copy-on-write
+    // store upserts these directly, so the snapshot write touches only the
+    // buckets this step changed (never a full-frontier merge join)
+    val updatedFull = statusCalc.select(
+      $"project", $"url_hash", $"url", $"host",
+      $"new_status".as("status"), $"priority", $"new_exetime".as("exetime"),
+      $"retries", $"new_retried".as("retried"), $"age", $"itag",
+      $"force_update", $"auto_recrawl", $"cancel", $"seed_url", $"method",
+      $"data", lit(now).as("lastcrawltime"), lit(now).as("updatetime"))
 
     // ---- frontier merge: apply updates, append fresh
     val merged = frontier.join(
@@ -385,6 +414,8 @@ object Superstep {
 
     StepResult(merged, nextBudgets, newResults, counters, scheduledCnt, freshCnt,
       doneSuccess = doneCnt, failed = failedCnt,
+      upserts = updatedFull.unionByName(fresh.select(frontierCols.map(col): _*)),
+      freshKeys = fresh.select($"project", $"url_hash"),
       cached = Seq(budgeted, fetched, candidates, fresh))
   }
 }

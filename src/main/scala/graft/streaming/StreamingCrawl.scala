@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.frontier.FrontierStore
@@ -51,20 +52,38 @@ object StreamingCrawl {
         val results = snap.map(_.results).getOrElse(Crawler.emptyResults(spark))
 
         // merge newly arrived seeds with full on_request semantics (J1/F5/F6:
-        // unknown -> insert; known + force_update/itag/age -> restart)
+        // unknown -> insert; known + force_update/itag/age -> restart); the
+        // rows the merge changed become upserts, the brand-new keys enter
+        // the seen index
+        val keys = Seq("project", "url_hash")
         val newSeeds = batch.select("project", "url").collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq
+        var seedUpserts = frontier.limit(0)
+        var seedFreshKeys = frontier.select(keys.map(functions.col): _*).limit(0)
         if (newSeeds.nonEmpty) {
-          frontier = Superstep.mergeIncoming(frontier,
-            Crawler.seedFrontier(spark, newSeeds, now), now)
+          val seedRows = Crawler.seedFrontier(spark, newSeeds, now)
+          seedFreshKeys = seedRows.select(keys.map(functions.col): _*)
+            .join(frontier.select(keys.map(functions.col): _*), keys, "left_anti")
+          frontier = Superstep.mergeIncoming(frontier, seedRows, now)
+            .localCheckpoint()
+          seedUpserts = frontier.join(seedRows.select(keys.map(functions.col): _*),
+            keys, "left_semi")
         }
 
+        // exact URL-seen path (seen=None): the in-batch frontier already
+        // includes this batch's seeds, which the snapshot seen-index can't
+        // know about yet
         val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
           projects, now, cfg)
-        val mergedResults = results.unionByName(
-          r.newResults.join(results.select("project", "url_hash"),
-            Seq("project", "url_hash"), "left_anti"))
-        store.write(spark, step + 1, now, r.frontier, r.budgets, mergedResults, r.counters)
+        val newResultsDelta = r.newResults.join(results.select(keys.map(functions.col): _*),
+          keys, "left_anti")
+        // superstep upserts win over seed upserts when the same task was
+        // both merged and selected this tick
+        val upserts = r.upserts.unionByName(
+          seedUpserts.join(r.upserts.select(keys.map(functions.col): _*), keys, "left_anti"))
+        val freshKeys = r.freshKeys.unionByName(seedFreshKeys)
+        store.writeIncremental(spark, step + 1, now, upserts, freshKeys,
+          r.budgets, newResultsDelta, r.counters)
         r.unpersistAll()
       }
 

@@ -171,24 +171,53 @@ class CrawlSpec extends AnyFunSuite {
     assert(key(a.frontier) == key(b.frontier))
     assert(a.results.orderBy("url_hash").collect().toSeq ==
       b.results.orderBy("url_hash").collect().toSeq)
-    // manifest carries lineage + counters
+    // manifest carries per-bucket lineage + counters
     val m = storeA.manifestJson(storeA.currentId.get)
-    assert(m.contains("\"partitions\""))
+    assert(m.contains("\"touched_partitions\""))
+    assert(m.contains("\"frontier_owner\""))
     assert(m.contains("\"counters\""))
   }
 
-  test("bloom prefilter path produces the same fresh set as exact anti-join") {
+  test("copy-on-write: untouched frontier buckets are owned by older snapshots, not rewritten") {
+    val cfg = PageGen.Config(nHosts = 4, pagesPerHost = 10, hotHosts = 0, fanout = 3)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow").toString
+    val store = new FrontierStore(dir, 16)
+    // seed only host0: hosts 1-3 never enter -> their buckets stay untouched
+    Crawler.run(spark, pages, projectsDf(2.0, 3.0),
+      Seq("p1" -> "http://host0.example.com/page/1"),
+      Crawler.CrawlConfig(maxSteps = 5, now0 = now0), Some(store))
+    val id = store.currentId.get
+    assert(id >= 5)
+    val m = store.manifestJson(id)
+    val owners = "\"frontier_owner\":\"([^\"]*)\"".r.findFirstMatchIn(m).get.group(1)
+      .split(",").map(_.toLong)
+    // later steps touch only the buckets holding host0's rows: at least one
+    // bucket written by an older snapshot is still current via lineage, and
+    // the final snapshot wrote only a subset of buckets
+    assert(owners.count(_ == id) < owners.count(_ != 0L) || owners.count(_ != 0L) <= 2,
+      s"final snapshot rewrote every live bucket: ${owners.mkString(",")}")
+  }
+
+  test("bucketed seen-index (bloom side-files + pruned exact check) equals the in-memory exact path") {
     val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 0, fanout = 3)
     val pages = PageGen.pages(spark, cfg).toDF()
     val projects = projectsDf(1000.0, 1000.0)
     val seeds = Seq("p1" -> "http://host0.example.com/page/1")
     val exact = Crawler.run(spark, pages, projects, seeds,
       Crawler.CrawlConfig(maxSteps = 4, now0 = now0))
-    val bloomed = Crawler.run(spark, pages, projects, seeds,
-      Crawler.CrawlConfig(maxSteps = 4, now0 = now0, bloomExpectedItems = 100000))
+    val dir = java.nio.file.Files.createTempDirectory("graft-seen").toString
+    val store = new FrontierStore(dir, 8, seenBuckets = 16, bloomItemsPerBucket = 4096)
+    val stored = Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 4, now0 = now0), Some(store))
     assert(exact.frontier.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq ==
-      bloomed.frontier.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq)
-    assert(exact.totalFresh == bloomed.totalFresh)
+      stored.frontier.select("url_hash").orderBy("url_hash").as[Long].collect().toSeq)
+    assert(exact.totalFresh == stored.totalFresh)
+    // bloom side-files exist for the touched seen-buckets
+    val blooms = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, f"snap-${store.currentId.get}%06d", "blooms"))
+      .count()
+    assert(blooms > 0)
   }
 
   test("W7 retry ladder: missing page retries then fails; backoff times are exact") {
