@@ -229,6 +229,27 @@ object SparkEntry {
           "extract_text(encode(concat('<p>', text, '</p>'), 'utf-8')) as txt")
         .orderBy("doc_id")
     }),
+    "f11_redirects" -> ((s, dir) => {
+      // F11: redirect-chain resolution (301-chain follows <=5 hops to final
+      // content, tornado_fetcher.py:387-403) — the resolver operator runs
+      // over a synthesized pages table whose chain structure has a closed
+      // form the oracle reproduces: id redirects to (id+1) % 1000 until
+      // id % 5 == 0 terminates the chain
+      val ids = t(s, dir, "events").selectExpr("event_id % 1000 as id").distinct()
+      val pages = ids.selectExpr(
+        "concat('http://r.test/p/', cast(id as string)) as url",
+        "encode(concat('page ', cast(id as string)), 'utf-8') as html",
+        "cast(case when id % 5 = 0 then 200 else 301 end as int) as http_status",
+        "case when id % 5 = 0 then cast(null as string) else concat('/p/', cast((id + 1) % 1000 as string)) end as location")
+      val (idx, _) = graft.sched.Superstep.preparePages(s, pages)
+      ids.selectExpr("id",
+          "xxhash64(canonicalize_url(concat('http://r.test/p/', cast(id as string)))) as page_hash")
+        .join(idx, "page_hash")
+        .selectExpr("id",
+          "cast(regexp_extract(page_url, '/p/([0-9]+)$', 1) as bigint) as final_id",
+          "cast(redirect_hops as bigint) as hops")
+        .orderBy("id")
+    }),
     "f9_robots" -> ((s, dir) => {
       // F9: robots gate UDF vs arithmetic oracle
       t(s, dir, "documents").selectExpr("doc_id",
@@ -485,6 +506,8 @@ mixOut AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")} AS 
         "SELECT doc_id, '<p>' || text || '</p>' AS txt FROM documents ORDER BY doc_id",
       "f9_robots" ->
         "SELECT doc_id, doc_id % 2 = 0 AS allowed FROM documents ORDER BY doc_id",
+      "f11_redirects" ->
+        """SELECT id, CAST((id + (5 - id % 5) % 5) % 1000 AS BIGINT) AS final_id, CAST((5 - id % 5) % 5 AS BIGINT) AS hops FROM (SELECT DISTINCT event_id % 1000 AS id FROM events) ORDER BY id""",
       "d1_dedup_exact" ->
         "SELECT min(doc_id) AS keeper_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keeper_id",
       "t2_token_count" ->

@@ -65,6 +65,11 @@ object Udfs {
     u.register("lsh_probes",
       (key: Int, planes: Int) => Vectors.lshProbes(key, planes))
     u.register("data_url_decode", (u: String) => dataUrlDecode(u))
+    // RFC 3986 resolution (X5) — redirect Location headers are often relative
+    u.register("url_resolve",
+      (base: String, ref: String) =>
+        if (base == null || ref == null) null
+        else graft.url.UrlCanon.absolutize(base, ref).orNull)
     graft.mm.Multimodal.register(spark)
   }
 

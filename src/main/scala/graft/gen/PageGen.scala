@@ -138,4 +138,39 @@ object PageGen {
       }
     pageRows.unionByName(robotsRows)
   }
+
+  /**
+   * Pages table WITH redirect captures (F11): adds `http_status`/`location`
+   * columns (200/null on ordinary pages) plus, per host,
+   *   /hop1/k -> 301 -> /page/k
+   *   /hop2/k -> 302 -> /hop1/k
+   *   /hop3/k -> 307 -> /hop2/k        (3-hop chain, within max_redirects)
+   * and a 2-cycle /loopa <-> /loopb that can never resolve (redirects-
+   * exceeded failure path).
+   */
+  def pagesWithRedirects(spark: SparkSession, cfg: Config): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val plain = pages(spark, cfg).toDF()
+      .withColumn("http_status", lit(200))
+      .withColumn("location", lit(null).cast("string"))
+    val t0 = 1700000000L
+    val redirects = spark.range(0, cfg.nHosts.toLong, 1,
+        math.min(cfg.nHosts, spark.sparkContext.defaultParallelism))
+      .flatMap { hl =>
+        val h = hl.toInt; val host = hostName(h)
+        val chain = (1 to 3).flatMap { k =>
+          Seq(
+            (s"http://$host/hop1/$k", new Timestamp(t0 * 1000L), Array.empty[Byte], "", "en", 301, s"/page/$k"),
+            (s"http://$host/hop2/$k", new Timestamp(t0 * 1000L), Array.empty[Byte], "", "en", 302, s"/hop1/$k"),
+            (s"http://$host/hop3/$k", new Timestamp(t0 * 1000L), Array.empty[Byte], "", "en", 307, s"/hop2/$k"))
+        }
+        val loop = Seq(
+          (s"http://$host/loopa", new Timestamp(t0 * 1000L), Array.empty[Byte], "", "en", 301, s"/loopb"),
+          (s"http://$host/loopb", new Timestamp(t0 * 1000L), Array.empty[Byte], "", "en", 301, s"/loopa"))
+        chain ++ loop
+      }
+      .toDF("url", "warc_ts", "html", "text", "lang", "http_status", "location")
+    plain.unionByName(redirects)
+  }
 }

@@ -79,8 +79,16 @@ object Superstep {
     * per-host gate join and break the (project, url_hash) identity
     * invariant downstream). */
   def preparePages(spark: SparkSession, pages: DataFrame): (DataFrame, DataFrame) = {
+    // F11: a pages table MAY carry the capture's HTTP status + Location
+    // header (Common-Crawl metadata); absent, every row is a 200
+    val hasRedirects = pages.columns.contains("http_status") &&
+      pages.columns.contains("location")
+    val base =
+      if (hasRedirects) pages
+      else pages.withColumn("http_status", lit(200))
+        .withColumn("location", lit(null).cast("string"))
     val canon = expr("canonicalize_url(url)")
-    val withKeys = pages
+    val withKeys = base
       .withColumn("curl", canon)
       .withColumn("page_hash", xxhash64(col("curl")))
       .withColumn("page_host", expr("url_host(curl)"))
@@ -92,9 +100,61 @@ object Superstep {
     val content = withKeys
       .filter(expr("parse_url(curl, 'PATH')") =!= "/robots.txt")
       .groupBy(col("page_hash"))
-      .agg(min_by(struct(col("curl"), col("html")), xxhash64(col("html"))).as("m"))
-      .select(col("page_hash"), col("m.curl").as("page_url"), col("m.html").as("html"))
-    (content, robots)
+      .agg(min_by(struct(col("curl"), col("html"), col("http_status"), col("location")),
+        xxhash64(col("html"))).as("m"))
+      .select(col("page_hash"), col("m.curl").as("page_url"), col("m.html").as("html"),
+        col("m.http_status").as("http_status"), col("m.location").as("location"))
+    val resolved =
+      if (hasRedirects) resolveRedirects(content)
+      else content.select(col("page_hash"), col("page_url"), col("html"))
+        .withColumn("redirect_hops", lit(0))
+    (resolved, robots)
+  }
+
+  /**
+   * F11 redirect resolution (tornado_fetcher.py:387-403): follow
+   * 301/302/303/307(/308) + Location chains up to max_redirects=5 hops —
+   * resolved ONCE at index-build time, so every fetch join lands directly
+   * on final content. A dangling Location or a chain longer than 5 hops
+   * resolves to html=null, i.e. a fetch failure feeding the retry ladder
+   * (the reference raises 599 "redirects exceeded"). The reference's
+   * 302/303 force-GET applies to the next request's method; in the
+   * pages-table model the capture is method-less, so only the final
+   * content and hop count are observable.
+   */
+  def resolveRedirects(content: DataFrame): DataFrame = {
+    val maxRedirects = 5
+    val isRedir = col("http_status").isin(301, 302, 303, 307, 308) &&
+      col("location").isNotNull
+    val withLoc = content
+      .withColumn("loc_hash",
+        when(isRedir, xxhash64(expr("canonicalize_url(url_resolve(page_url, location))"))))
+    // targets are probed by hash; the chain walk below touches only the
+    // redirect subset (typically a small fraction of the table)
+    val targets = withLoc.select(
+      col("page_hash").as("t_hash"), col("page_url").as("t_url"),
+      col("html").as("t_html"), isRedir.as("t_redir"), col("loc_hash").as("t_loc"))
+    val terminal = withLoc.where(!isRedir)
+      .select(col("page_hash"), col("page_url"), col("html"))
+      .withColumn("redirect_hops", lit(0))
+
+    var pending = withLoc.where(isRedir)
+      .select(col("page_hash"), col("loc_hash").as("next_hash"), lit(1).as("hops"))
+    var done = terminal
+    (1 to maxRedirects).foreach { _ =>
+      val j = pending.join(targets, pending("next_hash") === targets("t_hash"), "left_outer")
+      val landed = j.where(!coalesce(col("t_redir"), lit(false)))
+        .select(col("page_hash"), col("t_url").as("page_url"),
+          col("t_html").as("html"), col("hops").as("redirect_hops"))
+      done = done.unionByName(landed)
+      pending = j.where(coalesce(col("t_redir"), lit(false)))
+        .select(col("page_hash"), col("t_loc").as("next_hash"), (col("hops") + 1).as("hops"))
+    }
+    // chains still pending after max hops => too-many-redirects failure
+    val exceeded = pending.select(col("page_hash"),
+      lit(null).cast("string").as("page_url"),
+      lit(null).cast("binary").as("html"), col("hops").as("redirect_hops"))
+    done.unionByName(exceeded)
   }
 
   /**
@@ -236,7 +296,11 @@ object Superstep {
     // persisted frame (one materialization carries decoded text instead)
     val fetched = selected
       .join(pagesIdx, $"url_hash" === $"page_hash", "left_outer")
-      .drop("page_hash", "page_url")
+      // after redirect resolution (F11) the content lives at the FINAL url:
+      // extraction resolves relative links against it (response.url
+      // semantics); the task identity stays the ORIGINAL url
+      .withColumn("final_url", coalesce($"page_url", $"url"))
+      .drop("page_hash", "page_url", "redirect_hops")
       .join(robotsSide, Seq("host"), "left_outer")
       .withColumn("robots_ok",
         if (cfg.respectRobots)
@@ -254,7 +318,7 @@ object Superstep {
     val follows = fetched
       .where($"fetch_ok")
       .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
-        explode(expr("extract_follows(page_text, url)")).as("f"))
+        explode(expr("extract_follows(page_text, final_url)")).as("f"))
       .select($"project", $"parent_url", $"parent_host",
         $"f.url".as("raw_url"), $"f.method".as("method"), $"f.data".as("data"))
       .withColumn("curl", expr("canonicalize_url(raw_url)"))

@@ -220,6 +220,33 @@ class CrawlSpec extends AnyFunSuite {
     assert(blooms > 0)
   }
 
+  test("F11 redirects: <=5-hop chain resolves to final content, loop fails into the retry ladder") {
+    val cfg = PageGen.Config(nHosts = 2, pagesPerHost = 8, hotHosts = 0, fanout = 2)
+    val pages = PageGen.pagesWithRedirects(spark, cfg)
+    val projects = projectsDf(1000.0, 1000.0)
+    val seeds = Seq(
+      "p1" -> "http://host0.example.com/hop3/1", // 307 -> 302 -> 301 -> /page/1
+      "p1" -> "http://host0.example.com/loopa")  // 2-cycle, never resolves
+    val run = Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 2, now0 = now0))
+    val f = run.frontier.cache()
+    // the chained seed fetched /page/1's content: SUCCESS + /page/1's links followed
+    assert(f.where($"url" === "http://host0.example.com/hop3/1" &&
+      $"status" === TaskStatus.Success).count() == 1)
+    val p1Targets = PageGen.linkTargets(cfg, 0, 1)
+    p1Targets.foreach { t =>
+      assert(f.where($"url" === s"http://host0.example.com/page/$t").count() == 1,
+        s"link target /page/$t of the redirect-final page was not followed")
+    }
+    // result row keeps the TASK url (original), per reference result identity
+    assert(run.results.where($"url" === "http://host0.example.com/hop3/1").count() == 1)
+    // the loop seed failed its fetch (redirects exceeded) and entered retry
+    val loop = f.where($"url" === "http://host0.example.com/loopa")
+      .select("status", "retried").collect().head
+    assert(loop.getInt(0) == TaskStatus.Active && loop.getInt(1) >= 1)
+    f.unpersist()
+  }
+
   test("W7 retry ladder: missing page retries then fails; backoff times are exact") {
     val frontier = mkFrontier(Seq(("gone", 99L, 0, 0.0)))
     val (pagesIdx, robots) = emptyPages
