@@ -36,7 +36,12 @@ object Crawler {
       totalFresh: Long,
       frontier: DataFrame,
       results: DataFrame,
-      countersPerStep: Seq[DataFrame])
+      countersPerStep: Seq[DataFrame],
+      /** projects whose ACTIVE set drained to zero during this run, in the
+        * order they finished (scheduler.py:348-374 on_finished; the
+        * FAIL_PAUSE_NUM debounce is an async-queue artifact — the superstep
+        * sees per-project emptiness exactly) */
+      finishedProjects: Seq[String] = Nil)
 
   val resultSchema: StructType = StructType(Seq(
     StructField("project", StringType), StructField("url_hash", LongType),
@@ -124,8 +129,15 @@ object Crawler {
     // tick" is NOT emptiness — retry backoff (exetime in the future) and
     // sub-1-token politeness refills legitimately schedule 0 while ACTIVE
     // tasks remain, and the crawl must keep ticking.
-    var activeRemaining = frontier
-      .where(col("status") === TaskStatus.Active).count()
+    // per-project ACTIVE counts: one scan at start/resume, then arithmetic
+    // from the per-project counter rows; a project draining to zero is
+    // FINISHED (on_finished)
+    val activeByProject = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    frontier.where(col("status") === TaskStatus.Active)
+      .groupBy("project").count().collect()
+      .foreach(r => activeByProject(r.getString(0)) = r.getLong(1))
+    var activeRemaining = activeByProject.values.sum
+    val finished = Seq.newBuilder[String]
 
     while (!done && stepNo < cfg.maxSteps) {
       val now = cfg.now0 + (stepNo + 1) * cfg.tick
@@ -156,6 +168,16 @@ object Crawler {
 
       totalScheduled += r.scheduled
       totalFresh += r.fresh
+      // per-project lifecycle: apply this step's status deltas; a project
+      // whose ACTIVE set just drained is FINISHED
+      r.counters.collect().foreach { row =>
+        val p = row.getAs[String]("project")
+        val before = activeByProject(p)
+        val after = before + row.getAs[Long]("new_tasks") -
+          (row.getAs[Long]("done_success") + row.getAs[Long]("failed_now"))
+        activeByProject(p) = after
+        if (before > 0 && after == 0) finished += p
+      }
       r.unpersistAll()
       // terminate only when no ACTIVE task remains anywhere — scheduled==0
       // alone can be a backoff/politeness lull, not emptiness
@@ -165,6 +187,7 @@ object Crawler {
 
     pagesIdx.unpersist(false)
     robots.unpersist(false)
-    CrawlRun(stepNo, totalScheduled, totalFresh, frontier, results, counters.result())
+    CrawlRun(stepNo, totalScheduled, totalFresh, frontier, results, counters.result(),
+      finished.result())
   }
 }

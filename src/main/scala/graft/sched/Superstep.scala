@@ -235,9 +235,19 @@ object Superstep {
       seen: Option[graft.frontier.SeenFilter] = None): StepResult = {
     import spark.implicits._
 
-    // ---- W2: ready = exetime arrived (time queue folds into the filter)
+    // ---- W2: ready = exetime arrived (time queue folds into the filter).
+    // Project lifecycle gate (scheduler.py:637-649 + F2): only tasks of
+    // RUNNING projects are schedulable — a STOP/FINISHED project's tasks
+    // stay in the frontier untouched (re-activation resumes them), and
+    // tasks of unknown projects are never selected (task_verify).
+    val runningProjects =
+      if (projects.columns.contains("status"))
+        projects.where(coalesce($"status", lit("RUNNING")) === "RUNNING")
+          .select($"name".as("project"))
+      else projects.select($"name".as("project"))
     val ready = frontier
       .where($"status" === TaskStatus.Active && $"exetime" <= now)
+      .join(broadcast(runningProjects), Seq("project"), "left_semi")
 
     // ---- A7: politeness budgets per (project, host) — token bucket carried
     // as state; missing state = full bucket (token_bucket.py:32)

@@ -220,6 +220,33 @@ class CrawlSpec extends AnyFunSuite {
     assert(blooms > 0)
   }
 
+  test("project lifecycle: STOP gates scheduling, re-activation resumes, drained project is FINISHED") {
+    val frontier = mkFrontier((1 to 4).map(i => (s"t$i", i.toLong, 0, 0.0)))
+    val (pagesIdx, robots) = emptyPages
+    val stopped = Seq(("p1", 1000.0, 1000.0, "STOP")).toDF("name", "rate", "burst", "status")
+    val running = Seq(("p1", 1000.0, 1000.0, "RUNNING")).toDF("name", "rate", "burst", "status")
+    // STOP: nothing is scheduled, frontier untouched
+    val r1 = Superstep.run(spark, frontier, Crawler.emptyBudgets(spark), pagesIdx, robots,
+      stopped, now0 + 1, Superstep.Config(respectRobots = false))
+    assert(r1.scheduled == 0)
+    assert(r1.frontier.where($"status" === TaskStatus.Active).count() == 4)
+    r1.unpersistAll()
+    // re-activation: same frontier, RUNNING -> selection proceeds
+    val r2 = Superstep.run(spark, frontier, Crawler.emptyBudgets(spark), pagesIdx, robots,
+      running, now0 + 1, Superstep.Config(respectRobots = false))
+    assert(r2.scheduled == 4)
+    r2.unpersistAll()
+    // FINISHED: a full crawl whose project drains reports it finished
+    val cfg = PageGen.Config(nHosts = 2, pagesPerHost = 6, hotHosts = 0, fanout = 2)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val run = Crawler.run(spark, pages, projectsDf(1000.0, 1000.0),
+      Seq("p1" -> "http://host0.example.com/page/1"),
+      // retries drain fast: missing pages fail after the ladder; cap steps high
+      Crawler.CrawlConfig(maxSteps = 30, now0 = now0, tick = 8 * 3600.0))
+    assert(run.finishedProjects == Seq("p1"))
+    assert(run.frontier.where($"status" === TaskStatus.Active).count() == 0)
+  }
+
   test("F11 redirects: <=5-hop chain resolves to final content, loop fails into the retry ladder") {
     val cfg = PageGen.Config(nHosts = 2, pagesPerHost = 8, hotHosts = 0, fanout = 2)
     val pages = PageGen.pagesWithRedirects(spark, cfg)

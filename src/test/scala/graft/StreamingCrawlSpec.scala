@@ -55,4 +55,48 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(run.frontier.groupBy("project", "url_hash").count()
       .where($"count" > 1).count() == 0)
   }
+
+  test("W3 processing-timeout analogue: a batch killed after selection, before commit, is re-selected on resume") {
+    // the reference re-queues tasks whose status pack never arrives within
+    // processing_timeout (task_queue.py:117,160-170). In the snapshot model
+    // selection+ack commit atomically: a superstep that dies mid-flight
+    // leaves no trace, and resume re-selects exactly the in-flight batch —
+    // the timeout is the snapshot boundary itself.
+    val dir = java.nio.file.Files.createTempDirectory("graft-w3").toString
+    val store = new FrontierStore(dir, 8)
+    val cfg = PageGen.Config(nHosts = 2, pagesPerHost = 6, hotHosts = 0, fanout = 2)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+    val now0 = 1700000000.0
+
+    // one committed step
+    graft.sched.Crawler.run(spark, pages, projects,
+      Seq("p1" -> "http://host0.example.com/page/1"),
+      graft.sched.Crawler.CrawlConfig(maxSteps = 1, now0 = now0), Some(store))
+    val committed = store.read(spark).get
+    val committedKeys = committed.frontier.select("url_hash").as[Long].collect().sorted.toSeq
+
+    // simulate a crash: run the NEXT superstep but never commit it
+    val (pagesIdx, robots) = graft.sched.Superstep.preparePages(spark, pages)
+    val dead = graft.sched.Superstep.run(spark, committed.frontier, committed.budgets,
+      pagesIdx, robots, projects, now0 + 2, graft.sched.Superstep.Config())
+    val selectedByDead = dead.upserts.where($"lastcrawltime" === now0 + 2)
+      .select("url_hash").as[Long].collect().sorted.toSeq
+    assert(selectedByDead.nonEmpty)
+    dead.unpersistAll()
+
+    // store is untouched (snapshot atomicity)...
+    assert(store.read(spark).get.id == committed.id)
+    assert(store.read(spark).get.frontier.select("url_hash").as[Long]
+      .collect().sorted.toSeq == committedKeys)
+
+    // ...and the resumed run re-selects exactly the same in-flight batch
+    val resumed = graft.sched.Superstep.run(spark, store.read(spark).get.frontier,
+      store.read(spark).get.budgets, pagesIdx, robots, projects, now0 + 2,
+      graft.sched.Superstep.Config())
+    val reSelected = resumed.upserts.where($"lastcrawltime" === now0 + 2)
+      .select("url_hash").as[Long].collect().sorted.toSeq
+    assert(reSelected == selectedByDead)
+    resumed.unpersistAll()
+  }
 }
