@@ -6,13 +6,56 @@ import org.apache.spark.sql.SparkSession
   * (forked by Bench) so the two parallelism levels don't share heap/JIT
   * state. Prints "RATE <urls/sec>" on stdout.
   *
-  * args: <threads> <nUrls> <reps>
+  * args: <threads> <nUrls> <reps> [job]
+  *
+  * job selects the measured workload — the three tiers of the scaling
+  * DECOMPOSITION (is the sub-linear residue ours or the VM's?):
+  *   full    (default) the BASELINE.json metric job: canonicalize + hash +
+  *           in-batch merge + seen anti-join + ranked politeness selection
+  *   maponly the same canonicalize+hash map WITHOUT any shuffle — isolates
+  *           memory-bandwidth + Spark task overhead scaling
+  *   spin    a pure-register spin loop on raw threads (no Spark, no memory
+  *           traffic) — measures what 8->32 threads the VM actually delivers
   */
 object ScalingRun {
+
+  /** map-only tier: one wide codegen'd stage, zero exchanges. */
+  def mapOnlyJob(spark: SparkSession, n: Long): Long = {
+    graft.Udfs.register(spark)
+    val hosts = 5000
+    spark.range(n).selectExpr(
+        s"xxhash64(canonicalize_url(concat('HTTP://Host', cast(id % $hosts as string), '.Example.COM:80/p/', cast(id as string), '?b=', cast(id % 7 as string), '&a=1#f'))) as h")
+      .selectExpr("count(1) as c", "bit_xor(h) as s").collect()
+    n
+  }
+
+  /** spin tier: raw threads, no allocation, no memory traffic. */
+  def spinJob(threads: Int, itersPerThread: Long): Unit = {
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var x = t.toLong; var i = 0L
+        while (i < itersPerThread) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        if (x == 42L) println(x) // defeat dead-code elimination
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+  }
+
   def main(args: Array[String]): Unit = {
     val p = args(0).toInt
     val n = args(1).toLong
     val reps = args(2).toInt
+    val job = if (args.length > 3) args(3) else "full"
+
+    if (job == "spin") {
+      val iters = n / p
+      spinJob(p, iters / 8) // warmup
+      val best = (1 to math.max(reps, 2)).map { _ =>
+        val t0 = System.nanoTime(); spinJob(p, iters); (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"RATE ${n / best}%.0f")
+      return
+    }
     val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val s = Udfs.newSession(s"local[$p]", p * mult, s"graft-scaling-$p")
     s.sparkContext.setLogLevel("ERROR")
@@ -29,11 +72,19 @@ object ScalingRun {
         }
       })
     }
-    Bench.scheduleDedupJob(s, n / 8, n / 16) // JIT + codegen warmup
+    def run1(): Unit = job match {
+      case "maponly" => mapOnlyJob(s, n)
+      case _ => Bench.scheduleDedupJob(s, n, n / 2)
+    }
+    def warmup(): Unit = job match {
+      case "maponly" => mapOnlyJob(s, n / 8)
+      case _ => Bench.scheduleDedupJob(s, n / 8, n / 16)
+    }
+    warmup() // JIT + codegen warmup
     val best = (1 to reps).map { _ =>
       System.gc()
       val t0 = System.nanoTime()
-      Bench.scheduleDedupJob(s, n, n / 2)
+      run1()
       (System.nanoTime() - t0) / 1e9
     }.min
     println(f"RATE ${n / best}%.0f")

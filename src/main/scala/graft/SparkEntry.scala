@@ -229,6 +229,25 @@ object SparkEntry {
           "extract_text(encode(concat('<p>', text, '</p>'), 'utf-8')) as txt")
         .orderBy("doc_id")
     }),
+    "f4_inqueue_limit" -> ((s, dir) => {
+      // F4: INQUEUE_LIMIT overflow — a project with q_size tasks already
+      // queued admits new tasks only up to the limit, deterministic order
+      val limit = 250
+      val newTasks = t(s, dir, "events")
+        .selectExpr("event_id", "user_id % 5 as project")
+      val qSize = t(s, dir, "events")
+        .selectExpr("user_id % 5 as project", "event_id")
+        .where("event_id % 3 = 0").groupBy("project")
+        .agg(count(lit(1)).as("q_size"))
+      newTasks.where("event_id % 3 != 0")
+        .join(qSize, Seq("project"), "left_outer")
+        .withColumn("q_size", coalesce(col("q_size"), lit(0L)))
+        .withColumn("qrn", row_number().over(
+          Window.partitionBy("project").orderBy(col("event_id").asc)).cast("long"))
+        .where(col("qrn") + col("q_size") <= limit)
+        .select("project", "event_id", "qrn")
+        .orderBy("project", "qrn")
+    }),
     "f11_redirects" -> ((s, dir) => {
       // F11: redirect-chain resolution (301-chain follows <=5 hops to final
       // content, tornado_fetcher.py:387-403) — the resolver operator runs
@@ -508,6 +527,8 @@ mixOut AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")} AS 
         "SELECT doc_id, doc_id % 2 = 0 AS allowed FROM documents ORDER BY doc_id",
       "f11_redirects" ->
         """SELECT id, CAST((id + (5 - id % 5) % 5) % 1000 AS BIGINT) AS final_id, CAST((5 - id % 5) % 5 AS BIGINT) AS hops FROM (SELECT DISTINCT event_id % 1000 AS id FROM events) ORDER BY id""",
+      "f4_inqueue_limit" ->
+        """WITH q AS (SELECT user_id % 5 AS project, count(*) AS q_size FROM events WHERE event_id % 3 = 0 GROUP BY user_id % 5), n AS (SELECT user_id % 5 AS project, event_id FROM events WHERE event_id % 3 <> 0), r AS (SELECT n.project, event_id, coalesce(q.q_size, 0) AS q_size, ROW_NUMBER() OVER (PARTITION BY n.project ORDER BY event_id ASC) AS qrn FROM n LEFT JOIN q ON n.project = q.project) SELECT project, event_id, qrn FROM r WHERE qrn + q_size <= 250 ORDER BY project, qrn""",
       "d1_dedup_exact" ->
         "SELECT min(doc_id) AS keeper_id, count(*) AS copies FROM documents GROUP BY text ORDER BY keeper_id",
       "t2_token_count" ->

@@ -170,7 +170,7 @@ object Crawler {
       totalFresh += r.fresh
       // per-project lifecycle: apply this step's status deltas; a project
       // whose ACTIVE set just drained is FINISHED
-      r.counters.collect().foreach { row =>
+      r.counterRows.foreach { row =>
         val p = row.getAs[String]("project")
         val before = activeByProject(p)
         val after = before + row.getAs[Long]("new_tasks") -

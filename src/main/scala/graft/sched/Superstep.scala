@@ -28,6 +28,9 @@ object Superstep {
       defaultBurst: Double = 3.0,
       /** ≤0 disables the per-project fair-share cap (scheduler.py:331). */
       perProjectLimit: Int = 0,
+      /** F4: drop NEW tasks once a project's ACTIVE set reaches this size
+        * (scheduler.py:77,235-237 INQUEUE_LIMIT; reference default 0=off). */
+      inqueueLimit: Int = 0,
       respectRobots: Boolean = true,
       /** retry ladder, scheduler.py:80-86. */
       retryDelays: Seq[Double] = Seq(30, 3600, 21600, 43200),
@@ -52,6 +55,9 @@ object Superstep {
       doneSuccess: Long = 0L,
       /** selected tasks that exhausted retries -> FAILED this step */
       failed: Long = 0L,
+      /** collected per-project counter rows (same data as `counters`) —
+        * callers fold these directly instead of re-collecting */
+      counterRows: Seq[org.apache.spark.sql.Row] = Nil,
       /** full frontier rows to insert-or-replace (updated selected rows +
         * fresh inserts) — the copy-on-write store's write unit */
       upserts: DataFrame = null,
@@ -262,7 +268,10 @@ object Superstep {
       .withColumn("tokens_avail",
         when($"tokens".isNull, $"burst")
           .otherwise(least($"burst", $"tokens" + $"rate" * (lit(now) - $"last_update"))))
-      .withColumn("allowed", floor($"tokens_avail"))
+      // the budget can never usefully exceed the ready demand — clamping
+      // keeps downstream top-K state proportional to real rows even under
+      // effectively-unlimited politeness rates
+      .withColumn("allowed", least(floor($"tokens_avail"), $"demand"))
       .select($"project", $"host", $"rate", $"burst", $"tokens_avail", $"allowed")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -377,7 +386,21 @@ object Superstep {
           Seq("project", "url_hash"), "left_anti")
         definitelyNew.unionByName(exact).drop("sbucket", "maybe_seen")
     }
-    val fresh = freshAll.persist(StorageLevel.MEMORY_AND_DISK)
+    // ---- F4: INQUEUE_LIMIT overflow filter — a project at/over the limit
+    // admits only enough new tasks to reach it (deterministic url_hash order)
+    val freshLimited =
+      if (cfg.inqueueLimit <= 0) freshAll
+      else {
+        val qSize = frontier.where($"status" === TaskStatus.Active)
+          .groupBy($"project").agg(count(lit(1)).as("q_size"))
+        val qw = Window.partitionBy($"project").orderBy($"url_hash".asc)
+        freshAll.join(qSize, Seq("project"), "left_outer")
+          .withColumn("q_size", coalesce($"q_size", lit(0L)))
+          .withColumn("qrn", row_number().over(qw))
+          .where($"qrn" + $"q_size" <= cfg.inqueueLimit)
+          .drop("q_size", "qrn")
+      }
+    val fresh = freshLimited.persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- W7: status merge for the selected batch
     val statusCalc = fetched
@@ -488,6 +511,7 @@ object Superstep {
 
     StepResult(merged, nextBudgets, newResults, counters, scheduledCnt, freshCnt,
       doneSuccess = doneCnt, failed = failedCnt,
+      counterRows = counterRows.toIndexedSeq,
       upserts = updatedFull.unionByName(fresh.select(frontierCols.map(col): _*)),
       freshKeys = fresh.select($"project", $"url_hash"),
       cached = Seq(budgeted, fetched, candidates, fresh))

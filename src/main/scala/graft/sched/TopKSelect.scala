@@ -109,13 +109,18 @@ object TopKSelect {
     var ids: Array[Long] = Array.empty
     var size: Int = 0
 
-    def setK(newK: Int): Unit = {
-      k = math.max(newK, 0)
-      if (prios.length < k) {
-        prios = java.util.Arrays.copyOf(prios, math.max(k, 1))
-        exes = java.util.Arrays.copyOf(exes, math.max(k, 1))
-        ids = java.util.Arrays.copyOf(ids, math.max(k, 1))
-      }
+    /** k is a LIMIT, not a size hint: storage grows geometrically with the
+      * rows actually kept, never eagerly to k — a politeness budget of 10^9
+      * tokens must cost memory proportional to the rows seen, not to the
+      * budget (an eager copyOf(k) here allocated 20 GB per group and took
+      * down the round-1 bench). */
+    def setK(newK: Int): Unit = { k = math.max(newK, 0) }
+
+    private def grow(): Unit = {
+      val cap = math.max(16, math.min(k.toLong, prios.length.toLong * 2).toInt)
+      prios = java.util.Arrays.copyOf(prios, cap)
+      exes = java.util.Arrays.copyOf(exes, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
     }
 
     /** a is WORSE than b in keep-order (priority desc, exetime asc, id asc)? */
@@ -125,6 +130,7 @@ object TopKSelect {
     def add(p: Int, e: Double, id: Long): Unit = {
       if (k <= 0) return
       if (size < k) {
+        if (size == prios.length) grow()
         prios(size) = p; exes(size) = e; ids(size) = id; size += 1
         siftUp(size - 1)
       } else if (worse(prios(0), exes(0), ids(0), p, e, id)) { // better than current worst

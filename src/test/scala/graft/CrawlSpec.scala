@@ -220,6 +220,29 @@ class CrawlSpec extends AnyFunSuite {
     assert(blooms > 0)
   }
 
+  test("F4 INQUEUE_LIMIT caps admitted new tasks per project") {
+    // one seed page with several same-host links; limit 3 with 1 already
+    // queued admits exactly 2 new tasks
+    val html = ("<html><body>" + (1 to 5).map(i => s"""<a href="/p/$i">l</a>""").mkString
+      + "</body></html>").getBytes("UTF-8")
+    val pages = Seq(("http://h0.test/start", new java.sql.Timestamp(0L), html, "", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val (pagesIdx, robots) = Superstep.preparePages(spark, pages)
+    val frontier = mkFrontier(Seq(("start", 0L, 0, 0.0)))
+      .withColumn("url", lit("http://h0.test/start"))
+      .withColumn("url_hash", expr("xxhash64(url)"))
+    val r = Superstep.run(spark, frontier, Crawler.emptyBudgets(spark), pagesIdx, robots,
+      projectsDf(1000.0, 1000.0), now0 + 1,
+      Superstep.Config(respectRobots = false, inqueueLimit = 3))
+    assert(r.fresh == 2, s"expected 2 admitted of 5 discovered, got ${r.fresh}")
+    r.unpersistAll()
+    // without the limit all 5 are admitted
+    val r2 = Superstep.run(spark, frontier, Crawler.emptyBudgets(spark), pagesIdx, robots,
+      projectsDf(1000.0, 1000.0), now0 + 1, Superstep.Config(respectRobots = false))
+    assert(r2.fresh == 5)
+    r2.unpersistAll()
+  }
+
   test("project lifecycle: STOP gates scheduling, re-activation resumes, drained project is FINISHED") {
     val frontier = mkFrontier((1 to 4).map(i => (s"t$i", i.toLong, 0, 0.0)))
     val (pagesIdx, robots) = emptyPages
