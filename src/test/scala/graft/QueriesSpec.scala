@@ -62,6 +62,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("d3_minhash_lsh: no exchange ships document text alongside band keys") {
+    // the LSH band shuffle must carry (doc_id, band) only — text joins back
+    // by id AFTER candidate generation (the 100 TB discipline; a band
+    // exchange carrying text fans every document out x16)
+    val df = SparkEntry.queries("d3_minhash_lsh")(spark, dir)
+    df.collect()
+    def exchangesOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.exchange.Exchange] = {
+      val self = p match {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => Seq(e)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => exchangesOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => exchangesOf(q.plan)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(exchangesOf)
+    }
+    val exchanges = exchangesOf(df.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "expected at least one exchange in the LSH plan")
+    val bandExchanges = exchanges.filter(_.output.exists(_.name == "band"))
+    assert(bandExchanges.nonEmpty, "expected an exchange on the band key")
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(a => a.name == "text" || a.name == "ta" || a.name == "tb"),
+        s"band exchange must not carry text: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("robots gate: shuffle-join fallback (size gate off) is semantically identical to broadcast") {
+    import spark.implicits._
+    val pages = graft.gen.PageGen.pages(spark, graft.gen.PageGen.Config(nHosts = 4, pagesPerHost = 8)).toDF()
+    val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+    val (pagesIdx, robots) = graft.sched.Superstep.preparePages(spark, pages)
+    val frontier = graft.sched.Crawler.seedFrontier(spark,
+      Seq("p1" -> "http://host0.example.com/page/1",
+        "p1" -> "http://host0.example.com/private/page/13"), 1700000000.0)
+    def outcome(bcast: Boolean): Seq[(Long, Int)] = {
+      val r = graft.sched.Superstep.run(spark, frontier, graft.sched.Crawler.emptyBudgets(spark),
+        pagesIdx, robots, projects, 1700000001.0,
+        graft.sched.Superstep.Config(broadcastRobots = bcast))
+      val out = r.frontier.select("url_hash", "status").orderBy("url_hash")
+        .collect().map(row => (row.getLong(0), row.getInt(1))).toSeq
+      r.unpersistAll(); out
+    }
+    assert(outcome(bcast = true) == outcome(bcast = false))
+  }
+
   test("whole-stage codegen covers the canonicalizer expression") {
     val df = SparkEntry.queries("x1_url_canon")(spark, dir)
     df.collect() // finalize the AQE plan — codegen nodes appear post-execution
