@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("topk_select"),
         new ExpressionInfo(classOf[graft.sched.TopKSelect].getName, "topk_select"),
         (args: Seq[Expression]) => graft.sched.TopKSelect(args(0), args(1), args(2), args(3))))
+    ext.injectFunction(
+      (FunctionIdentifier("extract_follows_rows"),
+        new ExpressionInfo(classOf[graft.text.FollowsGenerator].getName, "extract_follows_rows"),
+        (args: Seq[Expression]) => graft.text.FollowsGenerator(args(0), args(1))))
   }
 }

@@ -104,7 +104,7 @@ object Udfs {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Spark 4's runtime row-level bloom filter injection for shuffle joins
       // (SURVEY §4: evaluate before hand-rolling) — complements the explicit

@@ -333,13 +333,24 @@ object Superstep {
       .drop("robots_txt", "html")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- P1/P2/P4/P6: extraction + follow construction
-    val follows = fetched
-      .where($"fetch_ok")
-      .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
-        explode(expr("extract_follows(page_text, final_url)")).as("f"))
-      .select($"project", $"parent_url", $"parent_host",
-        $"f.url".as("raw_url"), $"f.method".as("method"), $"f.data".as("data"))
+    // ---- P1/P2/P4/P6: extraction + follow construction. The native
+    // Generator (FollowsGenerator via GenerateExec) streams one output row
+    // per follow without materializing an Array[Struct] per page; the
+    // UDF+explode pair is the fallback on vanilla sessions.
+    val follows0 =
+      if (spark.catalog.functionExists("extract_follows_rows"))
+        fetched.where($"fetch_ok")
+          .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
+            expr("extract_follows_rows(page_text, final_url)"))
+          .select($"project", $"parent_url", $"parent_host",
+            $"url".as("raw_url"), $"method", $"data")
+      else
+        fetched.where($"fetch_ok")
+          .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
+            explode(expr("extract_follows(page_text, final_url)")).as("f"))
+          .select($"project", $"parent_url", $"parent_host",
+            $"f.url".as("raw_url"), $"f.method".as("method"), $"f.data".as("data"))
+    val follows = follows0
       .withColumn("curl", expr("canonicalize_url(raw_url)"))
       .withColumn("fhost", expr("url_host(curl)"))
       .where($"fhost" === $"parent_host") // F7 same-domain

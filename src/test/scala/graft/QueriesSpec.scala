@@ -106,6 +106,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(outcome(bcast = true) == outcome(bcast = false))
   }
 
+  test("FollowsGenerator (native UDTF via GenerateExec) equals the UDF+explode path") {
+    val pages = graft.gen.PageGen.pages(spark,
+      graft.gen.PageGen.Config(nHosts = 2, pagesPerHost = 8)).toDF()
+    val g = pages.selectExpr("url as page_url", "extract_text(html) as t")
+    val gen = g.selectExpr("page_url", "extract_follows_rows(t, page_url)")
+      .selectExpr("page_url", "url", "method", "data", "text")
+    val udf = g.selectExpr("page_url", "explode(extract_follows(t, page_url)) as f")
+      .selectExpr("page_url", "f.url as url", "f.method as method", "f.data as data", "f.text as text")
+    val a = gen.collect().map(_.toString).sorted.toSeq
+    val b = udf.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty)
+    assert(a == b)
+    assert(gen.queryExecution.executedPlan.toString.contains("Generate extract_follows_rows"))
+  }
+
   test("whole-stage codegen covers the canonicalizer expression") {
     val df = SparkEntry.queries("x1_url_canon")(spark, dir)
     df.collect() // finalize the AQE plan — codegen nodes appear post-execution
