@@ -114,7 +114,13 @@ object Superstep {
       if (hasRedirects) resolveRedirects(content)
       else content.select(col("page_hash"), col("page_url"), col("html"))
         .withColumn("redirect_hops", lit(0))
-    (resolved, robots)
+    // hash-partition the index ONCE on the fetch-join key: the persisted
+    // layout (HashPartitioning(page_hash)) is reused by every superstep's
+    // fetch join, so only the (small) selected side shuffles per step —
+    // never the pages table again. This is the bucketed-join layout of
+    // SURVEY §4 without needing a metastore.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    (resolved.repartition(parts, col("page_hash")), robots)
   }
 
   /**

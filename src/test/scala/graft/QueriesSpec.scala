@@ -106,6 +106,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(outcome(bcast = true) == outcome(bcast = false))
   }
 
+  test("fetch join: the persisted pages-index layout is reused — no shuffle ships html per step") {
+    import spark.implicits._
+    val pages = graft.gen.PageGen.pages(spark,
+      graft.gen.PageGen.Config(nHosts = 4, pagesPerHost = 12)).toDF()
+    val (pagesIdx, robots) = graft.sched.Superstep.preparePages(spark, pages)
+    pagesIdx.persist(); pagesIdx.count()
+    val frontier = graft.sched.Crawler.seedFrontier(spark,
+      (1 to 8).map(i => "p1" -> s"http://host0.example.com/page/$i"), 1700000000.0)
+    val joined = frontier.join(pagesIdx, $"url_hash" === $"page_hash", "left_outer")
+    joined.collect()
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = {
+      val self = p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => Seq(e)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => shuffles(q.plan)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(shuffles)
+    }
+    // the pages side (the only side carrying html bytes) must never re-shuffle:
+    // its persisted HashPartitioning(page_hash) satisfies the join distribution
+    shuffles(joined.queryExecution.executedPlan).foreach { e =>
+      assert(!e.output.exists(_.name == "html"),
+        s"pages side re-shuffled through ${e.output.map(_.name)}")
+    }
+    pagesIdx.unpersist()
+  }
+
   test("FollowsGenerator (native UDTF via GenerateExec) equals the UDF+explode path") {
     val pages = graft.gen.PageGen.pages(spark,
       graft.gen.PageGen.Config(nHosts = 2, pagesPerHost = 8)).toDF()
