@@ -360,6 +360,22 @@ object SparkEntry {
         .where("rn <= 3").select("qid", "vec_id", "sim", "rn")
         .orderBy("qid", "rn")
     }),
+    "v4_ann_ivf" -> ((s, dir) => {
+      // IVF-style ANN: assign every vector to its coarse cell once; a query
+      // searches only its nprobe=4 best cells of 16 (the scale path: the
+      // candidate set is |probes|/|cells| of the corpus, never a cross join)
+      val e = t(s, dir, "embeddings")
+      val cells = e.selectExpr("vec_id", "embedding", "ivf_cell(embedding, 16, 7) as cell")
+      val q = cells.where("vec_id < 5")
+        .selectExpr("vec_id as qid", "embedding as qe", "explode(ivf_probes(embedding, 16, 4, 7)) as cell")
+      q.join(cells, Seq("cell")).where("vec_id != qid")
+        .selectExpr("qid", "vec_id", "round(cosine_sim(qe, embedding), 4) as sim")
+        .groupBy("qid", "vec_id").agg(max("sim").as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+        .where("rn <= 3").select("qid", "vec_id", "sim", "rn")
+        .orderBy("qid", "rn")
+    }),
     "v3_embed_stats" -> ((s, dir) =>
       t(s, dir, "embeddings").groupBy("label")
         .agg(count(lit(1)).as("cnt"), min(size(col("embedding")).cast("long")).as("dim"))
@@ -622,6 +638,23 @@ j AS (SELECT doc_id, len(list_intersect(ga, gb)) AS inter, len(ga) + len(gb) - l
     len(ga) AS la, len(gb) AS lb FROM p)
 SELECT doc_id, round(CASE WHEN la = 0 AND lb = 0 THEN 1.0 WHEN un = 0 THEN 0.0 ELSE inter * 1.0 / un END, 4) AS jac
 FROM j ORDER BY doc_id""",
+      "v4_ann_ivf" ->
+        s"""WITH pd AS (SELECT p, d, CAST(xor(7, d) AS HUGEINT) + p * $B32 AS z0
+  FROM (SELECT unnest(range(0, 16)) AS p) ps, (SELECT unnest(range(0, 64)) AS d) ds),
+${mix64Cte("pd", "z0", "p, d")},
+wd AS (SELECT p, d, CAST(CASE WHEN mixed >= $S63 THEN mixed - $M64 ELSE mixed END AS DOUBLE) / 9223372036854775807.0 AS w FROM mixOut),
+pl AS (SELECT p, list(w ORDER BY d) AS warr FROM wd GROUP BY p),
+sk AS (SELECT vec_id, embedding, p,
+    list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * warr[i]), (a, b) -> a + b) AS s
+  FROM embeddings, pl),
+rk AS (SELECT vec_id, embedding, p, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, p ASC) AS rnk FROM sk),
+cells AS (SELECT vec_id, embedding, p AS cell FROM rk WHERE rnk = 1),
+qp AS (SELECT vec_id AS qid, embedding AS qe, p AS cell FROM rk WHERE vec_id < 5 AND rnk <= 4),
+cand AS (SELECT qid, c.vec_id AS vec_id, round(CAST(list_cosine_similarity(qe, c.embedding) AS DOUBLE), 4) AS sim
+  FROM qp JOIN cells c USING (cell) WHERE c.vec_id <> qid),
+agg AS (SELECT qid, vec_id, max(sim) AS sim FROM cand GROUP BY qid, vec_id),
+r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn FROM agg)
+SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""",
       "v2_ann_lsh" ->
         s"""WITH pd AS (SELECT p, d, CAST(xor(42, d) AS HUGEINT) + p * $B32 AS z0
   FROM (SELECT unnest(range(0, 8)) AS p) ps, (SELECT unnest(range(0, 64)) AS d) ds),

@@ -64,6 +64,11 @@ object Udfs {
       (v: Seq[Float], planes: Int, seed: Long) => Vectors.lshKey(v, planes, seed))
     u.register("lsh_probes",
       (key: Int, planes: Int) => Vectors.lshProbes(key, planes))
+    u.register("ivf_cell",
+      (v: Seq[Float], cells: Int, seed: Long) => Vectors.ivfCell(v, cells, seed))
+    u.register("ivf_probes",
+      (v: Seq[Float], cells: Int, probes: Int, seed: Long) =>
+        Vectors.ivfProbes(v, cells, probes, seed))
     u.register("data_url_decode", (u: String) => dataUrlDecode(u))
     // RFC 3986 resolution (X5) — redirect Location headers are often relative
     u.register("url_resolve",

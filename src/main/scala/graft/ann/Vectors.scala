@@ -47,4 +47,32 @@ object Vectors {
   /** Multi-probe neighbor buckets: the key plus all 1-bit flips (recall boost). */
   def lshProbes(key: Int, nPlanes: Int): Array[Int] =
     Array(key) ++ Array.tabulate(nPlanes)(b => key ^ (1 << b))
+
+  private def cellScore(v: Seq[Float], c: Int, seed: Long): Double = {
+    var s = 0.0; var d = 0
+    while (d < v.length) { s += v(d) * plane(seed, c, d); d += 1 }
+    s
+  }
+
+  /** IVF-style coarse quantizer: the cell is the argmax over `nCells`
+    * seeded directions (a deterministic stand-in for k-means centroids —
+    * same dataflow shape: assign once, search only probed cells). Ties
+    * break to the lowest cell index. */
+  def ivfCell(v: Seq[Float], nCells: Int, seed: Long): Int = {
+    var best = 0; var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < nCells) {
+      val s = cellScore(v, c, seed)
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Query-side probe list: the `probes` best cells by the same score,
+    * descending (IVF nprobe). */
+  def ivfProbes(v: Seq[Float], nCells: Int, probes: Int, seed: Long): Array[Int] = {
+    val scored = Array.tabulate(nCells)(c => (cellScore(v, c, seed), c))
+    scored.sortBy { case (s, c) => (-s, c) }.take(math.min(probes, nCells)).map(_._2)
+  }
 }

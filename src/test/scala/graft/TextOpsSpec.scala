@@ -101,6 +101,23 @@ class TextOpsSpec extends AnyFunSuite {
       MinHash.hamming64(MinHash.simhash64(a), MinHash.simhash64(c)))
   }
 
+  test("IVF coarse cells: deterministic, probes contain the assignment cell first") {
+    val rnd = new scala.util.Random(11)
+    val vs = (0 until 50).map(_ => Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    vs.foreach { v =>
+      val cell = Vectors.ivfCell(v, 16, 7L)
+      assert(cell == Vectors.ivfCell(v, 16, 7L))
+      assert(cell >= 0 && cell < 16)
+      val probes = Vectors.ivfProbes(v, 16, 4, 7L)
+      assert(probes.length == 4 && probes.head == cell) // best probe IS the cell
+      assert(probes.distinct.length == 4)
+    }
+    // probing more cells only grows the candidate set (monotone recall)
+    val p2 = Vectors.ivfProbes(vs.head, 16, 2, 7L).toSet
+    val p8 = Vectors.ivfProbes(vs.head, 16, 8, 7L).toSet
+    assert(p2.subsetOf(p8))
+  }
+
   test("cosine + lsh buckets") {
     val v1 = Seq(1f, 0f, 0f)
     val v2 = Seq(1f, 0.1f, 0f)
