@@ -316,6 +316,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d5_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-duplicate pairs — the EXACT verifier of the
+      // dedup family (at corpus scale candidate generation goes through the
+      // ANN paths v2/v4; this all-pairs form is the small-side baseline,
+      // broadcast one side so the big side streams)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      broadcast(e.selectExpr("vec_id as a_id", "embedding as ea"))
+        .join(e.selectExpr("vec_id as b_id", "embedding as eb"), expr("b_id > a_id"))
+        .selectExpr("a_id", "b_id", "round(cosine_sim(ea, eb), 4) as sim")
+        .where("sim >= 0.3")
+        .orderBy("a_id", "b_id")
+    }),
+
     // ================= text analysis =================
     "t1_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").selectExpr("doc_id", "lang_id(text) as lang_pred")
@@ -638,6 +651,15 @@ j AS (SELECT doc_id, len(list_intersect(ga, gb)) AS inter, len(ga) + len(gb) - l
     len(ga) AS la, len(gb) AS lb FROM p)
 SELECT doc_id, round(CASE WHEN la = 0 AND lb = 0 THEN 1.0 WHEN un = 0 THEN 0.0 ELSE inter * 1.0 / un END, 4) AS jac
 FROM j ORDER BY doc_id""",
+      // cosine replicated with the Scala implementation's exact accumulation
+      // order (ordered double sum, sqrt per side, one division) — DuckDB's
+      // list_cosine_similarity differs by an ulp on rounding boundaries
+      "d5_embed_neardup" ->
+        """WITH n AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings),
+p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
+  FROM n a JOIN n b ON b.vec_id > a.vec_id)
+SELECT a_id, b_id, round(cs, 4) AS sim FROM p WHERE round(cs, 4) >= 0.3 ORDER BY a_id, b_id""",
       "v4_ann_ivf" ->
         s"""WITH pd AS (SELECT p, d, CAST(xor(7, d) AS HUGEINT) + p * $B32 AS z0
   FROM (SELECT unnest(range(0, 16)) AS p) ps, (SELECT unnest(range(0, 64)) AS d) ds),
