@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[graft.sched.TopKSelect].getName, "topk_select"),
         (args: Seq[Expression]) => graft.sched.TopKSelect(args(0), args(1), args(2), args(3))))
     ext.injectFunction(
+      (FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[graft.ann.CosineSim].getName, "cosine_sim"),
+        (args: Seq[Expression]) => graft.ann.CosineSim(args(0), args(1))))
+    ext.injectFunction(
       (FunctionIdentifier("extract_follows_rows"),
         new ExpressionInfo(classOf[graft.text.FollowsGenerator].getName, "extract_follows_rows"),
         (args: Seq[Expression]) => graft.text.FollowsGenerator(args(0), args(1))))

@@ -58,8 +58,11 @@ object Udfs {
       (sig: Seq[Long], bands: Int) => MinHash.bandKeys(sig.toArray, bands))
     u.register("ngram_jaccard",
       (a: String, b: String, k: Int) => MinHash.ngramJaccard(a, b, k))
-    u.register("cosine_sim",
-      (a: Seq[Float], b: Seq[Float]) => Vectors.cosine(a, b))
+    // native codegen'd expression when the extensions are installed; the
+    // UDF fallback implements the identical accumulation order
+    if (!spark.catalog.functionExists("cosine_sim"))
+      u.register("cosine_sim",
+        (a: Seq[Float], b: Seq[Float]) => Vectors.cosine(a, b))
     u.register("lsh_key",
       (v: Seq[Float], planes: Int, seed: Long) => Vectors.lshKey(v, planes, seed))
     u.register("lsh_probes",
