@@ -108,6 +108,16 @@ object Bench {
     // section still reports the queries measured so far)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     if (sections("queries")) try {
+      // untimed JVM warmup (codegen pipeline, shuffle machinery, parquet
+      // reader classes) so the alphabetically-first query doesn't absorb
+      // first-use class-loading/JIT cost in its number; touches no test table
+      time {
+        val w = spark.range(2000000).selectExpr("id",
+          "concat('http://w', cast(id % 97 as string), '.example.com/p/', cast(id as string)) as u")
+        w.selectExpr("xxhash64(u) as h", "id % 97 as g")
+          .groupBy("g").agg(count(lit(1)), sum("h")).count()
+      }
+      releaseAll(spark)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val (_, sec) = time {
           try fn(spark, sfDir).count()

@@ -262,28 +262,30 @@ object Superstep {
       .join(broadcast(runningProjects), Seq("project"), "left_semi")
 
     // ---- A7: politeness budgets per (project, host) — token bucket carried
-    // as state; missing state = full bucket (token_bucket.py:32)
-    val demand = ready.groupBy($"project", $"host").agg(count(lit(1)).as("demand"))
-    val budgeted = demand
-      .join(budgets, Seq("project", "host"), "left_outer")
-      .join(broadcast(projects.select($"name".as("project"),
-        coalesce($"rate", lit(cfg.defaultRate)).as("rate"),
-        coalesce($"burst", lit(cfg.defaultBurst)).as("burst"))), Seq("project"), "left_outer")
-      .withColumn("rate", coalesce($"rate", lit(cfg.defaultRate)))
-      .withColumn("burst", coalesce($"burst", lit(cfg.defaultBurst)))
+    // as state; missing state = full bucket (token_bucket.py:32). Refill is
+    // computed LAZILY from the stored (tokens, last_update) — linear refill
+    // commutes with the burst cap, so refilling on consumption gives the
+    // same token count as eager per-tick refill, and the budget needs no
+    // pre-aggregation of `ready` (demand) at all: TopKSelect's buffer grows
+    // with rows actually kept, never eagerly to k, so an effectively
+    // unlimited budget costs memory proportional to real rows.
+    val projRB = broadcast(projects.select($"name".as("project"),
+      coalesce($"rate", lit(cfg.defaultRate)).as("p_rate"),
+      coalesce($"burst", lit(cfg.defaultBurst)).as("p_burst")))
+    val budgeted = budgets
+      .join(projRB, Seq("project"), "left_outer")
       .withColumn("tokens_avail",
-        when($"tokens".isNull, $"burst")
-          .otherwise(least($"burst", $"tokens" + $"rate" * (lit(now) - $"last_update"))))
-      // the budget can never usefully exceed the ready demand — clamping
-      // keeps downstream top-K state proportional to real rows even under
-      // effectively-unlimited politeness rates
-      .withColumn("allowed", least(floor($"tokens_avail"), $"demand"))
-      .select($"project", $"host", $"rate", $"burst", $"tokens_avail", $"allowed")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        least(coalesce($"p_burst", lit(cfg.defaultBurst)),
+          $"tokens" + coalesce($"p_rate", lit(cfg.defaultRate)) * (lit(now) - $"last_update")))
+      .select($"project", $"host", $"tokens_avail")
 
     // ---- W1 (+W5): ranked selection under the budget
     val withBudget = ready
-      .join(budgeted.select($"project", $"host", $"allowed"), Seq("project", "host"))
+      .join(projRB, Seq("project"), "left_outer")
+      .join(budgeted, Seq("project", "host"), "left_outer")
+      .withColumn("allowed",
+        floor(coalesce($"tokens_avail", $"p_burst", lit(cfg.defaultBurst))))
+      .drop("tokens_avail", "p_rate", "p_burst")
     val useTopK = cfg.topKAggSelection && spark.catalog.functionExists("topk_select")
     var selected =
       if (useTopK) {
@@ -469,12 +471,18 @@ object Superstep {
         coalesce($"new_updatetime", $"updatetime").as("updatetime"))
       .unionByName(fresh.select(frontierCols.map(col): _*))
 
-    // ---- budgets update: subtract consumed, advance clocks
-    val consumed = selected.groupBy($"project", $"host").agg(count(lit(1)).as("consumed"))
-    val touched = budgeted
-      .join(consumed, Seq("project", "host"), "left_outer")
+    // ---- budgets update: subtract consumed, advance clocks. Only hosts
+    // that CONSUMED tokens this step get a state write — un-consumed hosts
+    // refill lazily from their stored last_update to the identical value
+    // (and hosts that never consume never enter the state table at all)
+    // `fetched` is row-identical to `selected` (left joins on unique keys)
+    // and persisted — aggregating it avoids recomputing the selection chain
+    val consumed = fetched.groupBy($"project", $"host").agg(count(lit(1)).as("consumed"))
+    val touched = consumed
+      .join(budgeted, Seq("project", "host"), "left_outer")
+      .join(projRB, Seq("project"), "left_outer")
       .select($"project", $"host",
-        ($"tokens_avail" - coalesce($"consumed", lit(0L))).as("tokens"),
+        (coalesce($"tokens_avail", $"p_burst", lit(cfg.defaultBurst)) - $"consumed").as("tokens"),
         lit(now).as("last_update"))
     val nextBudgets = budgets.join(touched.select($"project", $"host"),
         Seq("project", "host"), "left_anti")
@@ -492,15 +500,26 @@ object Superstep {
           .otherwise(map().cast("map<string,string>")).as("data"),
         $"seed_url", lit(now).as("updatetime"))
 
-    // ---- A3: per-project counters for this superstep
-    val cSel = fetched.groupBy($"project").agg(
+    // ---- A3: per-project counters for this superstep. ONE aggregation per
+    // source frame, unioned and re-aggregated — not N aggs + (N-1)
+    // full_outer joins: at superstep cadence every extra join is its own
+    // AQE stage wave of pure fixed cost
+    val counterCols = Seq("scheduled", "fetched", "succeeded", "done_success",
+      "failed_now", "retried", "new_tasks", "in_batch_dups", "candidates")
+    def shape(df: DataFrame): DataFrame = {
+      val padded = counterCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(0L)))
+      padded.select((col("project") +: counterCols.map(col)): _*)
+    }
+    // scheduled/fetched + the status deltas come from one pass over the
+    // selected batch (updates == a projection of statusCalc — same rows);
+    // done_success excludes auto_recrawl successes (those stay ACTIVE): the
+    // exact per-status deltas let the crawl loop track the remaining ACTIVE
+    // count arithmetically instead of rescanning the frontier
+    val cSel = statusCalc.groupBy($"project").agg(
       count(lit(1)).as("scheduled"),
-      sum(when($"fetch_ok", 1L).otherwise(0L)).as("fetched"))
-    val cUpd = updates.groupBy($"project").agg(
+      sum(when($"fetch_ok", 1L).otherwise(0L)).as("fetched"),
       sum(when($"fetch_ok", 1L).otherwise(0L)).as("succeeded"),
-      // done_success excludes auto_recrawl successes (those stay ACTIVE):
-      // the exact per-status deltas let the crawl loop track the remaining
-      // ACTIVE count arithmetically instead of rescanning the frontier
       sum(when($"new_status" === TaskStatus.Success, 1L).otherwise(0L)).as("done_success"),
       sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Failed, 1L).otherwise(0L)).as("failed_now"),
       sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Active, 1L).otherwise(0L)).as("retried"))
@@ -509,11 +528,10 @@ object Superstep {
       sum($"dups" - 1).as("in_batch_dups"))
     val cDedup = candidates.groupBy($"project").agg(
       count(lit(1)).as("candidates"))
-    val countersDf = cSel
-      .join(cUpd, Seq("project"), "full_outer")
-      .join(cNew, Seq("project"), "full_outer")
-      .join(cDedup, Seq("project"), "full_outer")
-      .na.fill(0L)
+    val countersDf = shape(cSel).unionByName(shape(cNew)).unionByName(shape(cDedup))
+      .groupBy($"project")
+      .agg(sum(col(counterCols.head)).as(counterCols.head),
+        counterCols.tail.map(c => sum(col(c)).as(c)): _*)
       .withColumn("deduped", $"candidates" - $"new_tasks")
 
     // ONE action materializes every persisted intermediate and yields all
@@ -531,6 +549,6 @@ object Superstep {
       counterRows = counterRows.toIndexedSeq,
       upserts = updatedFull.unionByName(fresh.select(frontierCols.map(col): _*)),
       freshKeys = fresh.select($"project", $"url_hash"),
-      cached = Seq(budgeted, fetched, candidates, fresh))
+      cached = Seq(fetched, candidates, fresh))
   }
 }
