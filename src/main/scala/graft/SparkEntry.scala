@@ -482,13 +482,13 @@ object SparkEntry {
   /** splitmix64 (TextStats.mix64) of a uint64-valued column named `zc`,
     * staged over CTEs `n1..n3` built on top of `from0`; yields a CTE chain
     * whose final relation `mixOut` has columns (keep*, mixed). */
-  private def mix64Cte(from0: String, zc: String, keep: String): String = {
+  private def mix64Cte(from0: String, zc: String, keep: String, sfx: String = ""): String = {
     val c1 = BigInt("13787848793156543929") // 0xbf58476d1ce4e5b9
     val c2 = BigInt("10723151780598845931") // 0x94d049bb133111eb
-    s"""m1 AS (SELECT $keep, (($zc) + CAST('11400714819323198485' AS HUGEINT)) % $M64 AS z1 FROM $from0),
-m2x AS (SELECT $keep, ${mulMod64(xor64("z1", "z1 // CAST(1073741824 AS HUGEINT)"), c1)} AS z2 FROM m1),
-m3x AS (SELECT $keep, ${mulMod64(xor64("z2", "z2 // CAST(134217728 AS HUGEINT)"), c2)} AS z3 FROM m2x),
-mixOut AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")} AS mixed FROM m3x)"""
+    s"""m1$sfx AS (SELECT $keep, (($zc) + CAST('11400714819323198485' AS HUGEINT)) % $M64 AS z1 FROM $from0),
+m2x$sfx AS (SELECT $keep, ${mulMod64(xor64("z1", "z1 // CAST(1073741824 AS HUGEINT)"), c1)} AS z2 FROM m1$sfx),
+m3x$sfx AS (SELECT $keep, ${mulMod64(xor64("z2", "z2 // CAST(134217728 AS HUGEINT)"), c2)} AS z3 FROM m2x$sfx),
+mixOut$sfx AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")} AS mixed FROM m3x$sfx)"""
   }
   /** FNV-1a 64 over the chars of a VARCHAR expr (ASCII fixture contract:
     * chars < 128, so the xor touches only the low 7 bits). */
@@ -696,10 +696,61 @@ cand AS (SELECT qid, c.vec_id AS vec_id, round(CAST(list_cosine_similarity(qe, c
   FROM qp JOIN ky c USING (k) WHERE c.vec_id <> qid),
 agg AS (SELECT qid, vec_id, max(sim) AS sim FROM cand GROUP BY qid, vec_id),
 r AS (SELECT qid, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn FROM agg)
-SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn"""
-      // d3 (LSH candidate set is probabilistic — recall vs brute force is
-      // asserted in TextOpsSpec) and c1 (the crawl itself — CrawlSpec) are
-      // the only rows-only checks.
+SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""",
+      // d3: the WHOLE MinHash+LSH pipeline replicated in DuckDB — FNV-1a per
+      // 3-shingle, 64 splitmix64 permutation hashes (SIGNED min, matching
+      // the Scala Long comparison), 16 band keys via the 4-round
+      // mix64(h xor sig) fold with the band id in the low byte, bucket
+      // self-join, exact 3-gram jaccard verify. The candidate set is
+      // deterministic given the hash family, so it is NOT rows-only.
+      "d3_minhash_lsh" -> {
+        val G = "CAST('11400714819323198485' AS HUGEINT)" // golden gamma
+        val MAXL = "CAST('9223372036854775807' AS HUGEINT)" // Long.MaxValue
+        def bandStep(n: Int, prevMixed: String): String =
+          s"""x$n AS (SELECT p.doc_id, p.b, ${xor64(prevMixed, "s.su")} AS z0
+  FROM ${if (n == 0) "h0" else s"mixOutB${n - 1}"} p JOIN sigf s
+    ON s.doc_id = p.doc_id AND s.i = p.b * 4 + $n),
+${mix64Cte(s"x$n", "z0", "doc_id, b", s"B$n")}"""
+        s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS gr FROM tk),
+sh AS (SELECT doc_id, unnest(list_distinct(gr)) AS s FROM g),
+fnv AS (SELECT doc_id, ${fnv64("s")} AS base FROM sh),
+-- the 64 permutation hashes are a pure function of the shingle's FNV base:
+-- mix once per DISTINCT base (shared vocabulary repeats across docs), then
+-- join back per doc — HUGEINT arithmetic is the oracle's dominant cost
+bi AS (SELECT base, i, (base + CAST(i AS HUGEINT) * $G) % $M64 AS z0
+  FROM (SELECT DISTINCT base FROM fnv) fb, (SELECT unnest(range(0, 64)) AS i) ii),
+${mix64Cte("bi", "z0", "base, i")},
+sig AS (SELECT f.doc_id, m.i,
+    min(CASE WHEN m.mixed >= $S63 THEN m.mixed - $M64 ELSE m.mixed END) AS sv
+  FROM fnv f JOIN mixOut m ON m.base = f.base GROUP BY f.doc_id, m.i),
+sigf AS (SELECT d.doc_id, ii.i,
+    coalesce(CASE WHEN s.sv < 0 THEN s.sv + $M64 ELSE s.sv END, $MAXL) AS su
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+  LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.i = ii.i),
+h0 AS (SELECT doc_id, b, (CAST(b AS HUGEINT) * $G) % $M64 AS mixed
+  FROM (SELECT DISTINCT doc_id FROM sigf) dd, (SELECT unnest(range(0, 16)) AS b) bb),
+${bandStep(0, "p.mixed")},
+${bandStep(1, "p.mixed")},
+${bandStep(2, "p.mixed")},
+${bandStep(3, "p.mixed")},
+bkey AS (SELECT doc_id, b, (mixed - mixed % 256) + CAST(b AS HUGEINT) AS k FROM mixOutB3),
+pr AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+  FROM bkey a JOIN bkey b2 ON a.k = b2.k AND a.doc_id < b2.doc_id),
+pj AS (SELECT a_id, b_id, list_distinct(ga.gr) AS sa, list_distinct(gb.gr) AS sb
+  FROM pr JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id),
+jj AS (SELECT a_id, b_id, len(list_intersect(sa, sb)) AS inter,
+    len(sa) + len(sb) - len(list_intersect(sa, sb)) AS un, len(sa) AS la, len(sb) AS lb FROM pj),
+fin AS (SELECT a_id, b_id,
+    round(CASE WHEN la = 0 AND lb = 0 THEN 1.0 WHEN un = 0 THEN 0.0 ELSE inter * 1.0 / un END, 4) AS jaccard FROM jj)
+SELECT a_id, b_id, jaccard FROM fin WHERE jaccard >= 0.4 ORDER BY a_id, b_id"""
+      }
+      // c1 (the crawl itself — an iterative superstep loop, covered by
+      // CrawlSpec + the resume/determinism suites) is the only remaining
+      // rows-only check.
     )
   }
 }
