@@ -215,6 +215,28 @@ object SparkEntry {
         .where("url_host(parent) = url_host(link)")
         .select("event_id").orderBy("event_id")
     }),
+    "x10_curl_args" -> ((s, dir) => {
+      // X10: curl command line -> fetch arguments (url.py:70-120). The
+      // commands are synthesized deterministically; Spark PARSES them (shlex
+      // tokenizer + option grammar), the oracle recomputes the expected
+      // fields directly from the same inputs.
+      val q = lit("'")
+      val cmd = concat(
+        lit("curl "), q, lit("http://host"), expr("cast(user_id % 20 as string)"),
+        lit(".test/c/"), expr("cast(event_id as string)"), q,
+        lit(" -H "), q, lit("Accept: */*"), q,
+        lit(" -H "), q, lit("X-Key: v"), expr("cast(event_id % 9 as string)"), q,
+        when(expr("event_id % 3 = 0"),
+          concat(lit(" --data "), q, lit("a="), expr("cast(event_id % 11 as string)"), lit("&b=2"), q))
+          .otherwise(lit("")),
+        when(expr("event_id % 5 = 0"), lit(" -X PUT")).otherwise(lit("")),
+        when(expr("event_id % 7 = 0"), lit(" --compressed")).otherwise(lit("")))
+      t(s, dir, "events").select(col("event_id"), cmd.as("curl_cmd"))
+        .withColumn("p", expr("curl_to_args(curl_cmd)"))
+        .selectExpr("event_id", "p._1 as url", "p._2 as method", "p._3 as data",
+          "cast(p._4 as bigint) as n_headers", "p._5 as use_gzip")
+        .orderBy("event_id")
+    }),
 
     // ================= extraction / text invariants =================
     "p1_extract_links" -> ((s, dir) => {
@@ -568,6 +590,14 @@ mixOut$sfx AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")}
         "SELECT label, count(*) AS cnt, CAST(min(len(embedding)) AS BIGINT) AS dim FROM embeddings GROUP BY label ORDER BY label",
       "w6_active_ring" ->
         "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn <= 3 ORDER BY user_id, rn",
+      "x10_curl_args" ->
+        """SELECT event_id,
+ 'http://host' || CAST(user_id % 20 AS VARCHAR) || '.test/c/' || CAST(event_id AS VARCHAR) AS url,
+ CASE WHEN event_id % 5 = 0 THEN 'PUT' WHEN event_id % 3 = 0 THEN 'POST' ELSE 'GET' END AS method,
+ CASE WHEN event_id % 3 = 0 THEN 'a=' || CAST(event_id % 11 AS VARCHAR) || '&b=2' END AS data,
+ CAST(2 AS BIGINT) AS n_headers,
+ event_id % 7 = 0 AS use_gzip
+FROM events ORDER BY event_id""",
       "x9_data_url" ->
         "SELECT doc_id, substring(text, 1, 16) AS txt FROM documents ORDER BY doc_id",
       "m1_mm_meta" ->

@@ -73,6 +73,12 @@ object Udfs {
       (v: Seq[Float], cells: Int, probes: Int, seed: Long) =>
         Vectors.ivfProbes(v, cells, probes, seed))
     u.register("data_url_decode", (u: String) => dataUrlDecode(u))
+    // X10: curl command line -> fetch arguments (url.py:70-120); struct
+    // surface for SQL (first url + scalar fields; full list via CurlArgs)
+    u.register("curl_to_args", (c: String) => {
+      val r = graft.url.CurlArgs.parse(c)
+      (r.urls.head, r.method, r.data.orNull, r.headers.size.toLong, r.useGzip)
+    })
     // RFC 3986 resolution (X5) — redirect Location headers are often relative
     u.register("url_resolve",
       (base: String, ref: String) =>
