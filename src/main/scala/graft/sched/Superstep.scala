@@ -118,9 +118,11 @@ object Superstep {
     // layout (HashPartitioning(page_hash)) is reused by every superstep's
     // fetch join, so only the (small) selected side shuffles per step —
     // never the pages table again. This is the bucketed-join layout of
-    // SURVEY §4 without needing a metastore.
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    (resolved.repartition(parts, col("page_hash")), robots)
+    // SURVEY §4 without needing a metastore. No explicit partition count:
+    // AQE sizes the exchange from the data (one partition for a fixture
+    // graph — every later stage wave is 1 task, not shuffle.partitions —
+    // and stat-driven counts for a 100 TB table).
+    (resolved.repartition(col("page_hash")), robots)
   }
 
   /**
@@ -380,31 +382,42 @@ object Superstep {
         lit(false).as("cancel"), $"m.parent_url".as("seed_url"),
         $"m.method".as("method"), $"m.data".as("data"),
         lit(0.0).as("lastcrawltime"), lit(now).as("updatetime"), $"dups")
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- J1: URL-seen anti-join. With a seen-index: partition-local bloom
+    // ---- J1: URL-seen check. With a seen-index: partition-local bloom
     // probe first (definitely-new skips the exact check), then an exact
-    // anti-join against ONLY the probed buckets' key files — never a scan
-    // or shuffle of the whole frontier. Without: exact anti-join on the
-    // in-memory frontier keys.
-    val freshAll = seen match {
+    // check against ONLY the probed buckets' key files — never a scan or
+    // shuffle of the whole frontier. Without: exact check on the in-memory
+    // frontier keys. The check is a left_outer flag join (equivalent to the
+    // anti-join: both sides are unique per (project, url_hash)) so ONE
+    // persisted frame serves both the fresh-insert path and the
+    // candidates/deduped counters — one pass over the candidate set instead
+    // of two.
+    val stepCached = Seq.newBuilder[DataFrame]
+    val flagged = (seen match {
       case None =>
-        candidates.join(frontier.select($"project", $"url_hash"),
-          Seq("project", "url_hash"), "left_anti")
+        candidates.join(
+          frontier.select($"project", $"url_hash").withColumn("f_seen", lit(true)),
+          Seq("project", "url_hash"), "left_outer")
       case Some(sf) =>
         val skey = xxhash64($"project", $"url_hash")
-        val flagged = candidates
+        val probed = candidates
           .withColumn("sbucket", sf.bucketCol($"project", $"url_hash"))
           .withColumn("maybe_seen", sf.probe($"sbucket", skey))
-        val definitelyNew = flagged.where(!$"maybe_seen")
-        val maybe = flagged.where($"maybe_seen")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        stepCached += probed
+        val definitelyNew = probed.where(!$"maybe_seen")
+          .withColumn("f_seen", lit(null).cast("boolean"))
+        val maybe = probed.where($"maybe_seen")
         // buckets actually probed — a step-sized distinct, bounded by numBuckets
         val bucketsHit = maybe.select($"sbucket").distinct()
           .collect().map(_.getInt(0)).toIndexedSeq
-        val exact = maybe.join(sf.keysFor(spark, bucketsHit),
-          Seq("project", "url_hash"), "left_anti")
+        val exact = maybe.join(
+          sf.keysFor(spark, bucketsHit).withColumn("f_seen", lit(true)),
+          Seq("project", "url_hash"), "left_outer")
         definitelyNew.unionByName(exact).drop("sbucket", "maybe_seen")
-    }
+    }).withColumn("is_new", $"f_seen".isNull).drop("f_seen")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freshAll = flagged.where($"is_new").drop("is_new")
     // ---- F4: INQUEUE_LIMIT overflow filter — a project at/over the limit
     // admits only enough new tasks to reach it (deterministic url_hash order)
     val freshLimited =
@@ -419,7 +432,9 @@ object Superstep {
           .where($"qrn" + $"q_size" <= cfg.inqueueLimit)
           .drop("q_size", "qrn")
       }
-    val fresh = freshLimited.persist(StorageLevel.MEMORY_AND_DISK)
+    // fresh is a cheap filter over the persisted flagged frame (or, under a
+    // non-default INQUEUE_LIMIT, a window over it) — no second persist
+    val fresh = freshLimited
 
     // ---- W7: status merge for the selected batch
     val statusCalc = fetched
@@ -523,12 +538,22 @@ object Superstep {
       sum(when($"new_status" === TaskStatus.Success, 1L).otherwise(0L)).as("done_success"),
       sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Failed, 1L).otherwise(0L)).as("failed_now"),
       sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Active, 1L).otherwise(0L)).as("retried"))
-    val cNew = fresh.groupBy($"project").agg(
-      count(lit(1)).as("new_tasks"),
-      sum($"dups" - 1).as("in_batch_dups"))
-    val cDedup = candidates.groupBy($"project").agg(
-      count(lit(1)).as("candidates"))
-    val countersDf = shape(cSel).unionByName(shape(cNew)).unionByName(shape(cDedup))
+    // candidates + fresh counters come from ONE pass over the flagged frame
+    // (new_tasks must count POST-limit inserts, so the non-default
+    // INQUEUE_LIMIT path still aggregates the limited fresh separately)
+    val cNewDedup =
+      if (cfg.inqueueLimit <= 0)
+        flagged.groupBy($"project").agg(
+          count(lit(1)).as("candidates"),
+          sum(when($"is_new", 1L).otherwise(0L)).as("new_tasks"),
+          sum(when($"is_new", $"dups" - 1).otherwise(0L)).as("in_batch_dups"))
+      else {
+        val cNew = fresh.groupBy($"project").agg(
+          count(lit(1)).as("new_tasks"), sum($"dups" - 1).as("in_batch_dups"))
+        flagged.groupBy($"project").agg(count(lit(1)).as("candidates"))
+          .join(cNew, Seq("project"), "full_outer").na.fill(0L)
+      }
+    val countersDf = shape(cSel).unionByName(shape(cNewDedup))
       .groupBy($"project")
       .agg(sum(col(counterCols.head)).as(counterCols.head),
         counterCols.tail.map(c => sum(col(c)).as(c)): _*)
@@ -549,6 +574,6 @@ object Superstep {
       counterRows = counterRows.toIndexedSeq,
       upserts = updatedFull.unionByName(fresh.select(frontierCols.map(col): _*)),
       freshKeys = fresh.select($"project", $"url_hash"),
-      cached = Seq(fetched, candidates, fresh))
+      cached = Seq(fetched, flagged) ++ stepCached.result())
   }
 }
