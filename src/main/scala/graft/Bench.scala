@@ -78,7 +78,16 @@ object Bench {
   private val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def emitJson(): Unit = if (printed.compareAndSet(false, true)) {
-    println(f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDirState","crawl":$crawlJson,"scaling":$scalingJson}""")
+    val json =
+      f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDirState","crawl":$crawlJson,"scaling":$scalingJson}"""
+    // belt-and-braces for the driver's parser (rounds 1+2 both ended with
+    // parsed:null because sbt's logger wrapped the line): (1) the JSON to a
+    // well-known file, (2) a bare JSON line as the LAST stdout line (raw —
+    // build.sbt sets run/outputStrategy := StdoutOutput so no [info] prefix)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json)
+    catch { case _: Throwable => () }
+    System.out.flush(); System.err.flush()
+    println(json)
     System.out.flush()
   }
 

@@ -46,12 +46,19 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     val seenBuckets: Int = 64,
     bloomItemsPerBucket: Long = 1L << 22,
     bloomFpp: Double = 0.01,
-    compactEvery: Int = 32) {
+    compactEvery: Int = 32,
+    /** At compaction, drop all rows (and seen keys) of projects whose
+      * ACTIVE set has drained to zero — the reference deletes a FINISHED
+      * project's taskdb (scheduler.py:348-374 delete_project); without this
+      * dead projects accumulate in the frontier forever at 100x scale. */
+    dropDrainedOnCompact: Boolean = true) {
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root)
 
   final case class Snapshot(id: Long, step: Int, now: Double,
-      frontier: DataFrame, budgets: DataFrame, results: DataFrame)
+      frontier: DataFrame, budgets: DataFrame, results: DataFrame,
+      /** cumulative per-project counter totals across all committed steps */
+      counterTotals: Map[String, Map[String, Long]] = Map.empty)
 
   private def snapDir(id: Long): Path = root.resolve(f"snap-$id%06d")
 
@@ -72,30 +79,51 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
   private final case class Manifest(id: Long, step: Int, now: Double, base: Long,
       frontierOwner: Array[Long], rowsPerBucket: Array[Long],
       seenOwner: Array[Long], resultSnaps: Seq[Long],
-      seenChain: Seq[(Long, Set[Int])])
+      seenChain: Seq[(Long, Set[Int])],
+      /** cumulative seen-key count per seen-bucket — drives bloom re-sizing */
+      seenRows: Array[Long],
+      /** current bloom capacity (expectedNumItems) per seen-bucket */
+      seenCap: Array[Long],
+      /** cumulative per-project counter totals across all steps (reference
+        * reloads counters on restart: scheduler.py:135-137) */
+      counterTotals: Map[String, Map[String, Long]])
 
   private def field(m: String, key: String): Option[String] =
     (s""""$key":"([^"]*)"""".r.findFirstMatchIn(m).map(_.group(1)))
       .orElse(s""""$key":([-0-9.E]+)""".r.findFirstMatchIn(m).map(_.group(1)))
+
+  private def req(m: String, key: String, id: Long): String =
+    field(m, key).getOrElse(throw new IllegalStateException(
+      s"frontier-store manifest for snapshot $id is missing field '$key' — " +
+        s"incompatible or corrupt store at $rootDir (expected format ${FrontierStore.FormatVersion})"))
 
   private def longs(s: String): Array[Long] =
     if (s.isEmpty) Array.empty else s.split(",").map(_.toLong)
 
   private def parseManifest(id: Long): Manifest = {
     val m = Files.readString(snapDir(id).resolve("manifest.json"))
-    val chain = field(m, "seen_chain").get match {
+    val fmt = field(m, "format").map(_.toInt).getOrElse(0)
+    if (fmt != FrontierStore.FormatVersion)
+      throw new IllegalStateException(
+        s"frontier store at $rootDir has manifest format $fmt but this build " +
+          s"reads format ${FrontierStore.FormatVersion}; recreate the store " +
+          "(snapshot layouts are not cross-version compatible)")
+    val chain = req(m, "seen_chain", id) match {
       case "" => Seq.empty[(Long, Set[Int])]
       case s => s.split(";").toSeq.map { e =>
         val Array(snap, bs) = e.split(":", 2)
         (snap.toLong, if (bs.isEmpty) Set.empty[Int] else bs.split("\\|").map(_.toInt).toSet)
       }
     }
+    val totals = FrontierStore.parseCounterTotals(m)
     Manifest(id,
-      field(m, "step").get.toInt, field(m, "now").get.toDouble,
-      field(m, "base").get.toLong,
-      longs(field(m, "frontier_owner").get), longs(field(m, "rows_per_bucket").get),
-      longs(field(m, "seen_owner").get), longs(field(m, "results_snaps").get).toSeq,
-      chain)
+      req(m, "step", id).toInt, req(m, "now", id).toDouble,
+      req(m, "base", id).toLong,
+      longs(req(m, "frontier_owner", id)), longs(req(m, "rows_per_bucket", id)),
+      longs(req(m, "seen_owner", id)), longs(req(m, "results_snaps", id)).toSeq,
+      chain,
+      longs(req(m, "seen_rows", id)), longs(req(m, "seen_cap", id)),
+      totals)
   }
 
   // ---------------- read ----------------
@@ -122,7 +150,7 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     val mf = parseManifest(id)
     Snapshot(id, mf.step, mf.now, frontierView(spark, mf),
       spark.read.parquet(snapDir(id).resolve("budgets").toString),
-      resultsView(spark, mf))
+      resultsView(spark, mf), mf.counterTotals)
   }
 
   /** The distributed URL-seen probe for the current snapshot (None before
@@ -163,53 +191,118 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     val touched: Array[Int] =
       if (full) (0 until numPartitions).toArray
       else up.select("bucket").distinct().collect().map(_.getInt(0)).sorted
-    val oldTouched = prev match {
-      case None => None
-      case Some(mf) =>
-        val paths = touched.collect {
-          case b if mf.frontierOwner(b) != 0L =>
-            snapDir(mf.frontierOwner(b)).resolve(s"frontier/bucket=$b").toString
+    // Zero-upsert superstep (retry backoff / politeness lull while ACTIVE
+    // tasks remain): a partitionBy write of an empty frame produces NO
+    // parquet files, so the read-back would throw UNABLE_TO_INFER_SCHEMA.
+    // Skip the frontier write entirely and carry the lineage forward
+    // unchanged — the snapshot still commits budgets/results/manifest.
+    val skipFrontierWrite = !full && touched.isEmpty
+    // set when a compaction drops drained (FINISHED) projects — the seen
+    // rewrite below filters those projects' keys with the same frame
+    var keepProjects: Option[DataFrame] = None
+    val writtenCounts: Map[Int, Long] =
+      if (skipFrontierWrite) Map.empty
+      else {
+        val oldTouched = prev match {
+          case None => None
+          case Some(mf) =>
+            val paths = touched.collect {
+              case b if mf.frontierOwner(b) != 0L =>
+                snapDir(mf.frontierOwner(b)).resolve(s"frontier/bucket=$b").toString
+            }
+            if (paths.isEmpty) None else Some(spark.read.parquet(paths.toIndexedSeq: _*))
         }
-        if (paths.isEmpty) None else Some(spark.read.parquet(paths.toIndexedSeq: _*))
-    }
-    val mergedTouched = oldTouched match {
-      case None => up
-      case Some(old) =>
-        old.join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .withColumn("bucket", frontierBucket)
-          .unionByName(up)
-    }
-    mergedTouched.write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(tmp.resolve("frontier").toString)
-
-    // per-bucket lineage: owner + row count, carried forward for untouched
-    val writtenCounts = spark.read.parquet(tmp.resolve("frontier").toString)
-      .groupBy("bucket").count().collect()
-      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
+        val merged0 = oldTouched match {
+          case None => up
+          case Some(old) =>
+            old.join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+              .withColumn("bucket", frontierBucket)
+              .unionByName(up)
+        }
+        // FINISHED-project cleanup (delete_project): at compaction a project
+        // with zero ACTIVE rows has drained — drop all its rows. Projects
+        // with ACTIVE work (incl. STOP-ed ones awaiting re-activation) keep
+        // their full row set.
+        val mergedTouched =
+          if (full && dropDrainedOnCompact) {
+            val act = merged0.where(col("status") === graft.model.TaskStatus.Active)
+              .select("project").distinct()
+            keepProjects = Some(act)
+            merged0.join(broadcast(act), Seq("project"), "left_semi")
+          } else merged0
+        mergedTouched.write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket").parquet(tmp.resolve("frontier").toString)
+        // per-bucket lineage: owner + row count. A fully-empty write (e.g.
+        // compaction of an emptied store) also yields no files — read back
+        // only if bucket dirs exist.
+        val anyBucketDir = {
+          val d = tmp.resolve("frontier")
+          Files.exists(d) && Files.list(d).anyMatch(p => p.getFileName.toString.startsWith("bucket="))
+        }
+        if (!anyBucketDir) Map.empty
+        else spark.read.parquet(tmp.resolve("frontier").toString)
+          .groupBy("bucket").count().collect()
+          .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
+      }
     val frontierOwner = Array.tabulate(numPartitions) { b =>
       if (writtenCounts.contains(b)) id
+      // a touched-but-now-empty bucket must NOT keep pointing at an old
+      // snapshot: on a compaction snapshot the old owners are GC'd below
+      else if (full || touched.contains(b)) 0L
       else prev.map(_.frontierOwner(b)).getOrElse(0L)
     }
     val rowsPerBucket = Array.tabulate(numPartitions) { b =>
       if (writtenCounts.contains(b)) writtenCounts(b)
-      else if (touched.contains(b)) 0L // touched but now empty (possible on full)
+      else if (full || touched.contains(b)) 0L
       else prev.map(_.rowsPerBucket(b)).getOrElse(0L)
     }
 
     // ---- seen index: delta + bloom refresh (append-only; compaction
     // rewrites the full key set so the chain re-bases)
-    val seenSrc =
+    val seenSrc0 =
       if (full && prev.nonEmpty)
         prev.map(mf => SeenFilter(seenBuckets, rootDir, mf.seenOwner, mf.seenChain)
           .keysFor(spark, 0 until seenBuckets)).get
           .unionByName(freshKeys.select("project", "url_hash"))
       else freshKeys.select("project", "url_hash")
+    // compaction cleanup: a dropped (drained) project's seen keys go with it
+    // — the reference forgets a deleted project's taskdb entirely
+    val seenSrc = keepProjects match {
+      case Some(keep) if full => seenSrc0.join(broadcast(keep), Seq("project"), "left_semi")
+      case _ => seenSrc0
+    }
     val seenKeyed = seenSrc
       .withColumn("skey", xxhash64(col("project"), col("url_hash")))
       .withColumn("bucket", seenBucket(col("skey")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seenTouched: Array[Int] =
-      seenKeyed.select("bucket").distinct().collect().map(_.getInt(0)).sorted
+    val freshPerBucket: Map[Int, Long] =
+      seenKeyed.groupBy("bucket").count().collect()
+        .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
+    val seenTouched: Array[Int] = freshPerBucket.keys.toArray.sorted
+    val prevSeenRows = prev.map(_.seenRows).getOrElse(Array.fill(seenBuckets)(0L))
+    val prevSeenCap = prev.map(_.seenCap)
+      .getOrElse(Array.fill(seenBuckets)(bloomItemsPerBucket))
+    // cumulative item count per bucket; on full, seenSrc IS the full key set
+    // so the per-bucket counts are exact re-bases
+    val seenRows = Array.tabulate(seenBuckets) { b =>
+      if (full) freshPerBucket.getOrElse(b, 0L)
+      else prevSeenRows(b) + freshPerBucket.getOrElse(b, 0L)
+    }
+    val prevOwner = prev.map(_.seenOwner).getOrElse(Array.fill(seenBuckets)(0L))
+    // Bloom capacity guard: append-only merging keeps the ORIGINAL filter's
+    // sizing, so once a bucket's cumulative count crosses ~80% of capacity
+    // the FPP starts collapsing (probe selectivity, not correctness — the
+    // exact anti-join backstops). Rebuild that bucket's bloom from its full
+    // key set at 2x the current count.
+    val rebuild: Array[Boolean] = Array.tabulate(seenBuckets) { b =>
+      !full && prevOwner(b) != 0L && freshPerBucket.contains(b) &&
+        seenRows(b) > (prevSeenCap(b) * 4 / 5)
+    }
+    val capThisSnap = Array.tabulate(seenBuckets) { b =>
+      if (full || rebuild(b) || prevOwner(b) == 0L)
+        math.max(bloomItemsPerBucket, seenRows(b) * 2)
+      else prevSeenCap(b)
+    }
     if (seenTouched.nonEmpty) {
       seenKeyed.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(tmp.resolve("seen-delta").toString)
@@ -217,11 +310,23 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
       // (shared FS — same contract as any shuffle/output commit); file names
       // are deterministic so task retries overwrite identically
       Files.createDirectories(tmp.resolve("blooms"))
-      val prevOwner = prev.map(_.seenOwner).getOrElse(Array.fill(seenBuckets)(0L))
       val rootStr = rootDir; val tmpStr = tmp.toString
-      val items = bloomItemsPerBucket; val fpp = bloomFpp
-      val mergeOld = !full // full rewrite rebuilds blooms from scratch
-      seenKeyed.select(col("bucket"), col("skey")).as[(Int, Long)](
+      val fpp = bloomFpp
+      val isFull = full
+      val rebuildArr = rebuild; val capArr = capThisSnap; val ownerArr = prevOwner
+      // rebuild buckets re-insert their ENTIRE committed key set (pruned
+      // chain read of only those buckets) alongside this step's fresh keys
+      val rebuildBuckets = (0 until seenBuckets).filter(rebuildArr(_))
+      val bloomFeed0 = seenKeyed.select(col("bucket"), col("skey"))
+      val bloomFeed =
+        if (rebuildBuckets.isEmpty) bloomFeed0
+        else bloomFeed0.unionByName(
+          prev.map(mf => SeenFilter(seenBuckets, rootDir, mf.seenOwner, mf.seenChain)
+            .keysFor(spark, rebuildBuckets)).get
+            .withColumn("skey", xxhash64(col("project"), col("url_hash")))
+            .withColumn("bucket", seenBucket(col("skey")))
+            .select(col("bucket"), col("skey")))
+      bloomFeed.as[(Int, Long)](
           org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaInt,
             org.apache.spark.sql.Encoders.scalaLong))
         .repartition(math.max(1, seenTouched.length), col("bucket"))
@@ -230,11 +335,11 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
             .empty[Int, org.apache.spark.util.sketch.BloomFilter]
           it.foreach { case (b, k) =>
             val bloom = byBucket.getOrElseUpdate(b, {
-              if (mergeOld && prevOwner(b) != 0L) {
+              if (!isFull && !rebuildArr(b) && ownerArr(b) != 0L) {
                 val in = Files.newInputStream(
-                  Paths.get(SeenFilter.bloomPath(rootStr, prevOwner(b), b)))
+                  Paths.get(SeenFilter.bloomPath(rootStr, ownerArr(b), b)))
                 try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
-              } else org.apache.spark.util.sketch.BloomFilter.create(items, fpp)
+              } else org.apache.spark.util.sketch.BloomFilter.create(capArr(b), fpp)
             })
             bloom.putLong(k)
           }
@@ -248,6 +353,11 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
       if (seenTouched.contains(b)) id
       else if (full) 0L
       else prev.map(_.seenOwner(b)).getOrElse(0L)
+    }
+    val seenCap = Array.tabulate(seenBuckets) { b =>
+      if (seenTouched.contains(b)) capThisSnap(b)
+      else if (full) bloomItemsPerBucket
+      else prevSeenCap(b)
     }
     val seenChain =
       if (full) Seq(id -> seenTouched.toSet)
@@ -271,28 +381,52 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
         (if (hasResults) Seq(id) else Seq.empty)
 
     // ---- manifest + atomic commit
-    val perProject = counters.orderBy("project").collect().map { r =>
+    val counterRowsC = counters.orderBy("project").collect()
+    val perProject = counterRowsC.map { r =>
       val fields = r.schema.fieldNames.map { f =>
         val v = r.getAs[Any](f)
-        val vs = v match { case s: String => "\"" + s + "\""; case other => String.valueOf(other) }
-        s""""$f":$vs"""
+        val vs = v match {
+          case s: String => FrontierStore.jsonStr(s)
+          case other => String.valueOf(other)
+        }
+        s"""${FrontierStore.jsonStr(f)}:$vs"""
       }.mkString(",")
       s"{$fields}"
     }.mkString("[", ",", "]")
+    // cumulative per-project totals (reference counter reload semantics):
+    // prev totals + this step's numeric counter fields
+    val counterTotals: Map[String, Map[String, Long]] = {
+      val base0 = prev.map(_.counterTotals).getOrElse(Map.empty)
+      counterRowsC.foldLeft(base0) { (acc, r) =>
+        val p = r.getAs[String]("project")
+        val stepVals = r.schema.fields.collect {
+          case f if f.name != "project" && r.getAs[Any](f.name).isInstanceOf[Long] =>
+            f.name -> r.getAs[Long](f.name)
+        }.toMap
+        val merged = stepVals.foldLeft(acc.getOrElse(p, Map.empty[String, Long])) {
+          case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v)
+        }
+        acc.updated(p, merged)
+      }
+    }
     val total = rowsPerBucket.sum
     val lineageJson = touched
       .map(b => s"""{"partition":$b,"rows":${rowsPerBucket(b)},"owner":$id}""")
       .mkString("[", ",", "]")
     val base = if (full) id else prev.get.base
     val manifest =
-      s"""{"snapshot":$id,"step":$step,"now":$now,"base":$base,"full":$full,
+      s"""{"format":${FrontierStore.FormatVersion},
+         |"snapshot":$id,"step":$step,"now":$now,"base":$base,"full":$full,
          |"num_partitions":$numPartitions,"seen_buckets":$seenBuckets,
          |"frontier_rows":$total,
          |"frontier_owner":"${frontierOwner.mkString(",")}",
          |"rows_per_bucket":"${rowsPerBucket.mkString(",")}",
          |"seen_owner":"${seenOwner.mkString(",")}",
+         |"seen_rows":"${seenRows.mkString(",")}",
+         |"seen_cap":"${seenCap.mkString(",")}",
          |"seen_chain":"${seenChain.map { case (s, bs) => s"$s:${bs.toSeq.sorted.mkString("|")}" }.mkString(";")}",
          |"results_snaps":"${resultSnaps.mkString(",")}",
+         |"counter_totals":"${FrontierStore.encodeCounterTotals(counterTotals)}",
          |"touched_partitions":$lineageJson,
          |"counters":$perProject}""".stripMargin
     Files.writeString(tmp.resolve("manifest.json"), manifest)
@@ -317,5 +451,49 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
     }
+  }
+}
+
+object FrontierStore {
+  /** Bumped whenever the snapshot/manifest layout changes — a mismatched
+    * store fails fast with a descriptive error instead of a regex NPE. */
+  val FormatVersion = 3
+
+  /** Minimal JSON string escaping (quote, backslash, control chars). */
+  def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2); sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"'); sb.toString
+  }
+
+  /** Counter totals travel inside a JSON string field; project names are
+    * URL-encoded so the payload stays regex-parseable regardless of what
+    * characters a project name contains. */
+  def encodeCounterTotals(t: Map[String, Map[String, Long]]): String =
+    t.toSeq.sortBy(_._1).map { case (p, m) =>
+      val enc = java.net.URLEncoder.encode(p, "UTF-8")
+      s"$enc=" + m.toSeq.sorted.map { case (k, v) => s"$k~$v" }.mkString("|")
+    }.mkString(";")
+
+  def parseCounterTotals(manifest: String): Map[String, Map[String, Long]] = {
+    val raw = """"counter_totals":"([^"]*)"""".r
+      .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
+    if (raw.isEmpty) Map.empty
+    else raw.split(";").map { e =>
+      val Array(p, ms) = e.split("=", 2)
+      val m = if (ms.isEmpty) Map.empty[String, Long]
+        else ms.split("\\|").map { kv =>
+          val Array(k, v) = kv.split("~", 2); k -> v.toLong
+        }.toMap
+      java.net.URLDecoder.decode(p, "UTF-8") -> m
+    }.toMap
   }
 }

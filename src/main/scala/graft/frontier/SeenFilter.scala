@@ -70,14 +70,37 @@ object SeenFilter {
   def deltaPath(root: String, snap: Long, bucket: Int): String =
     f"$root/snap-$snap%06d/seen-delta/bucket=$bucket"
 
-  /** Executor-JVM-wide bloom cache; snapshot files are immutable, so
-    * entries never invalidate. Bounded by the buckets an executor probes. */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
-  def load(path: String): BloomFilter =
-    cache.computeIfAbsent(path, p => {
-      val in = Files.newInputStream(Paths.get(p))
-      try BloomFilter.readFrom(in) finally in.close()
-    })
-  /** test hook */
-  private[frontier] def cacheSize: Int = cache.size()
+  /** Executor-JVM-wide bloom cache. Snapshot files are immutable so an
+    * entry is never WRONG — but every superstep that touches a bucket
+    * writes a NEW bloom file under the new snapshot id, so a path-keyed
+    * unbounded cache grows by ~bloom-size per touched bucket per step for
+    * the JVM's life (stale snapshots' entries linger after GC). Bounded
+    * byte-budget LRU: stale paths simply age out. */
+  private val maxBytes: Long =
+    sys.env.getOrElse("GRAFT_BLOOM_CACHE_BYTES", (512L * 1024 * 1024).toString).toLong
+  private var cachedBytes = 0L
+  private val cache = new java.util.LinkedHashMap[String, (BloomFilter, Long)](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, (BloomFilter, Long)]): Boolean =
+      false // eviction handled explicitly (byte budget, not entry count)
+  }
+  def load(path: String): BloomFilter = cache.synchronized {
+    val hit = cache.get(path)
+    if (hit != null) hit._1
+    else {
+      val bytes = Files.size(Paths.get(path))
+      val in = Files.newInputStream(Paths.get(path))
+      val bloom = try BloomFilter.readFrom(in) finally in.close()
+      cache.put(path, (bloom, bytes))
+      cachedBytes += bytes
+      val it = cache.entrySet().iterator()
+      while (cachedBytes > maxBytes && cache.size() > 1 && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != path) { cachedBytes -= eldest.getValue._2; it.remove() }
+      }
+      bloom
+    }
+  }
+  /** test hooks */
+  private[frontier] def cacheSize: Int = cache.synchronized(cache.size())
+  private[frontier] def cacheBytes: Long = cache.synchronized(cachedBytes)
 }

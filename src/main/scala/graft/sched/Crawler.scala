@@ -41,7 +41,11 @@ object Crawler {
         * order they finished (scheduler.py:348-374 on_finished; the
         * FAIL_PAUSE_NUM debounce is an async-queue artifact — the superstep
         * sees per-project emptiness exactly) */
-      finishedProjects: Seq[String] = Nil)
+      finishedProjects: Seq[String] = Nil,
+      /** cumulative per-project counter totals INCLUDING prior runs resumed
+        * from a store snapshot (reference counter reload: counter.py:416-434
+        * + scheduler.py:135-137) */
+      counterTotals: Map[String, Map[String, Long]] = Map.empty)
 
   val resultSchema: StructType = StructType(Seq(
     StructField("project", StringType), StructField("url_hash", LongType),
@@ -122,7 +126,7 @@ object Crawler {
     var totalScheduled = 0L
     var totalFresh = 0L
     val counters = Seq.newBuilder[DataFrame]
-    var done = false
+    var done = false // set from activeRemaining after the init scan below
     // exact remaining-ACTIVE count: one scan at start/resume, then pure
     // arithmetic from the per-step status deltas (fresh inserts are ACTIVE;
     // terminal transitions are SUCCESS/FAILED). "Nothing dispatched this
@@ -136,8 +140,23 @@ object Crawler {
     frontier.where(col("status") === TaskStatus.Active)
       .groupBy("project").count().collect()
       .foreach(r => activeByProject(r.getString(0)) = r.getLong(1))
-    var activeRemaining = activeByProject.values.sum
+    // termination counts ACTIVE tasks only over RUNNING (schedulable)
+    // projects — a STOP/FINISHED project's parked tasks must not keep the
+    // loop burning empty supersteps (the lifecycle gate never selects them)
+    val runningSet: Set[String] =
+      (if (projects.columns.contains("status"))
+        projects.where(coalesce(col("status"), lit("RUNNING")) === "RUNNING")
+      else projects).select("name").collect().map(_.getString(0)).toSet
+    var activeRemaining =
+      activeByProject.collect { case (p, n) if runningSet(p) => n }.sum
+    // nothing schedulable at all (every project STOP/FINISHED/drained):
+    // don't burn a single empty superstep
+    done = activeRemaining == 0
     val finished = Seq.newBuilder[String]
+    // cumulative counter totals: resume from the snapshot's persisted totals
+    // (counter reload semantics), then fold each step's counter rows
+    val totals = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+    resumed.foreach(_.counterTotals.foreach { case (p, m) => totals(p) = m })
 
     while (!done && stepNo < cfg.maxSteps) {
       val now = cfg.now0 + (stepNo + 1) * cfg.tick
@@ -177,6 +196,13 @@ object Crawler {
           (row.getAs[Long]("done_success") + row.getAs[Long]("failed_now"))
         activeByProject(p) = after
         if (before > 0 && after == 0) finished += p
+        val stepVals = row.schema.fields.collect {
+          case f if f.name != "project" && row.getAs[Any](f.name).isInstanceOf[Long] =>
+            f.name -> row.getAs[Long](f.name)
+        }
+        totals(p) = stepVals.foldLeft(totals.getOrElse(p, Map.empty[String, Long])) {
+          case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v)
+        }
       }
       r.unpersistAll()
       // terminate only when no ACTIVE task remains anywhere — scheduled==0
@@ -188,6 +214,6 @@ object Crawler {
     pagesIdx.unpersist(false)
     robots.unpersist(false)
     CrawlRun(stepNo, totalScheduled, totalFresh, frontier, results, counters.result(),
-      finished.result())
+      finished.result(), totals.toMap)
   }
 }

@@ -297,6 +297,142 @@ class CrawlSpec extends AnyFunSuite {
     f.unpersist()
   }
 
+  test("store survives zero-upsert supersteps (retry-backoff lull) and the crawl resumes past them") {
+    // one seed whose page doesn't exist: step 1 schedules + fails it into
+    // the 30s retry backoff; with tick=1.0 steps 2-3 schedule NOTHING while
+    // the task stays ACTIVE — each must still commit a snapshot (previously
+    // an empty partitionBy write + read-back threw UNABLE_TO_INFER_SCHEMA)
+    val (pagesIdx, robots) = emptyPages
+    val pages = Seq.empty[(String, java.sql.Timestamp, Array[Byte], String, String)]
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lull").toString
+    val store = new FrontierStore(dir, 8)
+    val run = Crawler.run(spark, pages, projectsDf(1000.0, 1000.0),
+      Seq("p1" -> "http://h0.test/gone"),
+      Crawler.CrawlConfig(maxSteps = 3, now0 = now0, tick = 1.0), Some(store))
+    assert(run.steps == 3, s"crawl died mid-lull at step ${run.steps}")
+    // snapshots 1(bootstrap)+3 steps committed; the task is still ACTIVE in backoff
+    assert(store.currentId.get == 4)
+    val snap = store.read(spark).get
+    val row = snap.frontier.select("status", "retried").collect().head
+    assert(row.getInt(0) == TaskStatus.Active && row.getInt(1) == 1)
+    // and a later resume (ticks past the backoff) picks the task up again
+    val run2 = Crawler.run(spark, pages, projectsDf(1000.0, 1000.0), Seq.empty,
+      Crawler.CrawlConfig(maxSteps = 8, now0 = now0, tick = 7 * 3600.0), Some(store))
+    assert(store.read(spark).get.frontier
+      .where($"status" === TaskStatus.Failed).count() == 1)
+  }
+
+  test("termination: a STOP project holding ACTIVE tasks does not burn empty supersteps") {
+    val cfg = PageGen.Config(nHosts = 2, pagesPerHost = 6, hotHosts = 0, fanout = 2)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val stopped = Seq(("p1", 1000.0, 1000.0, "STOP")).toDF("name", "rate", "burst", "status")
+    val run = Crawler.run(spark, pages, stopped,
+      Seq("p1" -> "http://host0.example.com/page/1"),
+      Crawler.CrawlConfig(maxSteps = 10, now0 = now0))
+    // nothing is schedulable: terminate immediately, not after 10 empty steps
+    assert(run.steps == 0 && run.totalScheduled == 0)
+  }
+
+  test("compaction drops a drained (FINISHED) project's rows and seen keys; live projects survive") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val store = new FrontierStore(dir, 8, seenBuckets = 8, compactEvery = 2)
+    def rows(p: String, n: Int, status: Int) =
+      Crawler.seedFrontier(spark,
+        (1 to n).map(i => p -> s"http://$p.test/u$i"), now0)
+        .withColumn("status", lit(status))
+    // snap 1 (full): pA active + pB fully drained (SUCCESS only)
+    val s1 = rows("pa", 3, TaskStatus.Active).unionByName(rows("pb", 3, TaskStatus.Success))
+    store.writeIncremental(spark, 1, now0, s1, s1.select("project", "url_hash"),
+      Crawler.emptyBudgets(spark), Crawler.emptyResults(spark), Crawler.emptyCounters(spark))
+    // snap 2 (incremental), snap 3 (compaction: 3 - base(1) >= 2)
+    (2 to 3).foreach { i =>
+      val up = rows("pa", 3 + i, TaskStatus.Active)
+      store.writeIncremental(spark, i, now0 + i, up, up.select("project", "url_hash"),
+        Crawler.emptyBudgets(spark), Crawler.emptyResults(spark), Crawler.emptyCounters(spark))
+    }
+    val snap = store.read(spark).get
+    val byProj = snap.frontier.groupBy("project").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byProj.contains("pb"), s"drained project's rows survived compaction: $byProj")
+    assert(byProj("pa") == 6) // 3 seeds + u4/u5/u6
+    // pb's seen keys are gone too (delete_project forgets the taskdb)
+    val keys = store.seenFilter(spark).get.keysFor(spark, 0 until 8)
+      .select("project").distinct().collect().map(_.getString(0)).toSet
+    assert(keys == Set("pa"))
+  }
+
+  test("counter totals accumulate across resume (reference counter reload)") {
+    val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 0, fanout = 3)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val projects = projectsDf(3.0, 5.0)
+    val seeds = Seq("p1" -> "http://host0.example.com/page/0")
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ctA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ctB").toString
+    val runA = Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 6, now0 = now0), Some(new FrontierStore(dirA, 8)))
+    val storeB = new FrontierStore(dirB, 8)
+    Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 3, now0 = now0), Some(storeB))
+    val runB = Crawler.run(spark, pages, projects, seeds,
+      Crawler.CrawlConfig(maxSteps = 6, now0 = now0), Some(storeB))
+    // the resumed run's cumulative totals equal the uninterrupted run's
+    assert(runB.counterTotals == runA.counterTotals)
+    assert(runA.counterTotals("p1")("scheduled") == runA.totalScheduled)
+  }
+
+  test("store manifest: format-version mismatch fails with a descriptive error; quoted project names survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val store = new FrontierStore(dir, 4)
+    // a project name with JSON-hostile characters round-trips the manifest
+    val evil = "p\"quote\\back"
+    val sf = Crawler.seedFrontier(spark, Seq(evil -> "http://h0.test/a"), now0)
+    val ctr = Seq((evil, 1L)).toDF("project", "scheduled")
+    store.writeIncremental(spark, 1, now0, sf, sf.select("project", "url_hash"),
+      Crawler.emptyBudgets(spark), Crawler.emptyResults(spark), ctr)
+    val snap = store.read(spark).get
+    assert(snap.frontier.select("project").collect().head.getString(0) == evil)
+    assert(snap.counterTotals == Map(evil -> Map("scheduled" -> 1L)))
+    // now corrupt the format field: read must fail fast + descriptively
+    val mPath = java.nio.file.Paths.get(dir, "snap-000001", "manifest.json")
+    val m = java.nio.file.Files.readString(mPath)
+    java.nio.file.Files.writeString(mPath, m.replace("\"format\":" +
+      FrontierStore.FormatVersion, "\"format\":1"))
+    val e = intercept[IllegalStateException](store.read(spark))
+    assert(e.getMessage.contains("manifest format"))
+  }
+
+  test("bloom capacity: a bucket past ~80% capacity is rebuilt larger (manifest tracks rows+cap)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomcap").toString
+    val store = new FrontierStore(dir, 4, seenBuckets = 1, bloomItemsPerBucket = 64)
+    def batch(lo: Int, n: Int) = Crawler.seedFrontier(spark,
+      (lo until lo + n).map(i => "p1" -> s"http://h0.test/u$i"), now0)
+    // snap 1 (full): 100 keys > 64 default -> sized to 2x count = 200
+    val b1 = batch(0, 100)
+    store.writeIncremental(spark, 1, now0, b1, b1.select("project", "url_hash"),
+      Crawler.emptyBudgets(spark), Crawler.emptyResults(spark), Crawler.emptyCounters(spark))
+    def capsAndRows(id: Long) = {
+      val m = store.manifestJson(id)
+      ("\"seen_cap\":\"([^\"]*)\"".r.findFirstMatchIn(m).get.group(1).toLong,
+        "\"seen_rows\":\"([^\"]*)\"".r.findFirstMatchIn(m).get.group(1).toLong)
+    }
+    assert(capsAndRows(1) == ((200L, 100L)))
+    // snap 2: +100 keys -> 200 rows > 0.8*200 -> rebuild at 2x400
+    val b2 = batch(100, 100)
+    store.writeIncremental(spark, 2, now0 + 1, b2, b2.select("project", "url_hash"),
+      Crawler.emptyBudgets(spark), Crawler.emptyResults(spark), Crawler.emptyCounters(spark))
+    assert(capsAndRows(2) == ((400L, 200L)))
+    // the rebuilt bloom still contains EVERY key ever written (old + new)
+    val sf2 = store.seenFilter(spark).get
+    val all = batch(0, 200).select(col("project"), col("url_hash"),
+      org.apache.spark.sql.functions.xxhash64(col("project"), col("url_hash")).as("skey"))
+    val misses = all
+      .withColumn("b", sf2.bucketCol(col("project"), col("url_hash")))
+      .where(!sf2.probe(col("b"), col("skey"))).count()
+    assert(misses == 0, s"$misses committed keys missing from the rebuilt bloom")
+  }
+
   test("W7 retry ladder: missing page retries then fails; backoff times are exact") {
     val frontier = mkFrontier(Seq(("gone", 99L, 0, 0.0)))
     val (pagesIdx, robots) = emptyPages
