@@ -351,6 +351,31 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    "d6_neardup_ann" -> ((s, dir) => {
+      // the SCALE-path near-dup: candidate pairs from the ANN structures —
+      // LSH buckets at hamming<=1 (multi-probe) UNION IVF same-cell — then
+      // the exact codegen'd cosine verifies candidates ONLY. No all-pairs
+      // join, no full-corpus broadcast: both candidate joins are bucketed
+      // equi-joins on (k)/(cell), so at 100 TB each task sees one bucket.
+      // d5 (all-pairs) remains solely the small-sf recall oracle.
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val keyed = e.selectExpr("vec_id", "embedding", "lsh_key(embedding, 8, 42) as k")
+      val lshPairs = keyed
+        .selectExpr("vec_id as a_id", "embedding as ea", "explode(lsh_probes(k, 8)) as k")
+        .join(keyed.selectExpr("vec_id as b_id", "embedding as eb", "k"), Seq("k"))
+        .where("b_id > a_id")
+      val cells = e.selectExpr("vec_id", "embedding", "ivf_cell(embedding, 16, 7) as cell")
+      val ivfPairs = cells.selectExpr("vec_id as a_id", "embedding as ea", "cell")
+        .join(cells.selectExpr("vec_id as b_id", "embedding as eb", "cell"), Seq("cell"))
+        .where("b_id > a_id")
+      lshPairs.select("a_id", "b_id", "ea", "eb")
+        .unionByName(ivfPairs.select("a_id", "b_id", "ea", "eb"))
+        .selectExpr("a_id", "b_id", "round(cosine_sim(ea, eb), 4) as sim")
+        .groupBy("a_id", "b_id").agg(max("sim").as("sim")) // dedup candidates
+        .where("sim >= 0.3")
+        .orderBy("a_id", "b_id")
+    }),
+
     // ================= text analysis =================
     "t1_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").selectExpr("doc_id", "lang_id(text) as lang_pred")
@@ -479,8 +504,11 @@ object SparkEntry {
       val run = Crawler.run(s, pages, projects,
         Seq("p1" -> "http://host0.example.com/page/1"),
         Crawler.CrawlConfig(maxSteps = 3))
-      run.frontier.selectExpr("project", "url_hash", "url", "status", "retried")
-        .orderBy("url_hash")
+      // canonical url IS the row identity (url_hash = xxhash64(url)); the
+      // oracle recomputes the whole 3-superstep BFS from the closed-form
+      // PageGen graph, so the output keeps to oracle-checkable columns
+      run.frontier.selectExpr("project", "url", "status", "retried")
+        .orderBy("url")
     })
   )
 
@@ -690,6 +718,45 @@ p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
     list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
   FROM n a JOIN n b ON b.vec_id > a.vec_id)
 SELECT a_id, b_id, round(cs, 4) AS sim FROM p WHERE round(cs, 4) >= 0.3 ORDER BY a_id, b_id""",
+      // d6: the ANN-candidate near-dup — the oracle independently recomputes
+      // BOTH candidate structures (8-hyperplane LSH keys seed 42, 16-cell
+      // IVF argmax seed 7 — same mix64 plane generator as v2/v4) and the
+      // exact ordered-sum cosine on the candidate pairs only
+      "d6_neardup_ann" ->
+        s"""WITH pdL AS (SELECT p, d, CAST(xor(42, d) AS HUGEINT) + p * $B32 AS z0
+  FROM (SELECT unnest(range(0, 8)) AS p) ps, (SELECT unnest(range(0, 64)) AS d) ds),
+${mix64Cte("pdL", "z0", "p, d", "L")},
+wdL AS (SELECT p, d, CAST(CASE WHEN mixed >= $S63 THEN mixed - $M64 ELSE mixed END AS DOUBLE) / 9223372036854775807.0 AS w FROM mixOutL),
+plL AS (SELECT p, list(w ORDER BY d) AS warr FROM wdL GROUP BY p),
+skL AS (SELECT vec_id, p,
+    list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * warr[i]), (a, b) -> a + b) AS s
+  FROM embeddings, plL),
+ky AS (SELECT vec_id,
+    CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS INT) AS k
+  FROM skL GROUP BY vec_id),
+pdI AS (SELECT p, d, CAST(xor(7, d) AS HUGEINT) + p * $B32 AS z0
+  FROM (SELECT unnest(range(0, 16)) AS p) ps, (SELECT unnest(range(0, 64)) AS d) ds),
+${mix64Cte("pdI", "z0", "p, d", "I")},
+wdI AS (SELECT p, d, CAST(CASE WHEN mixed >= $S63 THEN mixed - $M64 ELSE mixed END AS DOUBLE) / 9223372036854775807.0 AS w FROM mixOutI),
+plI AS (SELECT p, list(w ORDER BY d) AS warr FROM wdI GROUP BY p),
+skI AS (SELECT vec_id, p,
+    list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * warr[i]), (a, b) -> a + b) AS s
+  FROM embeddings, plI),
+cells AS (SELECT vec_id, p AS cell FROM (
+    SELECT vec_id, p, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, p ASC) AS rnk FROM skI
+  ) WHERE rnk = 1),
+lp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM (SELECT vec_id, xor(k, pr) AS k FROM ky,
+        (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS pr) prs) a
+  JOIN ky b USING (k) WHERE b.vec_id > a.vec_id),
+ip AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM cells a JOIN cells b USING (cell) WHERE b.vec_id > a.vec_id),
+cand AS (SELECT DISTINCT a_id, b_id FROM (SELECT * FROM lp UNION ALL SELECT * FROM ip)),
+n AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings),
+vr AS (SELECT c.a_id, c.b_id,
+    list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
+  FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id)
+SELECT a_id, b_id, round(cs, 4) AS sim FROM vr WHERE round(cs, 4) >= 0.3 ORDER BY a_id, b_id""",
       "v4_ann_ivf" ->
         s"""WITH pd AS (SELECT p, d, CAST(xor(7, d) AS HUGEINT) + p * $B32 AS z0
   FROM (SELECT unnest(range(0, 16)) AS p) ps, (SELECT unnest(range(0, 64)) AS d) ds),
@@ -777,10 +844,82 @@ jj AS (SELECT a_id, b_id, len(list_intersect(sa, sb)) AS inter,
 fin AS (SELECT a_id, b_id,
     round(CASE WHEN la = 0 AND lb = 0 THEN 1.0 WHEN un = 0 THEN 0.0 ELSE inter * 1.0 / un END, 4) AS jaccard FROM jj)
 SELECT a_id, b_id, jaccard FROM fin WHERE jaccard >= 0.4 ORDER BY a_id, b_id"""
+      },
+      // c1: the crawl itself. The oracle recomputes the ENTIRE 3-superstep
+      // BFS independently in DuckDB from the closed-form PageGen graph
+      // (FIXTURES.md §1): link targets are splitmix64 arithmetic (the mix64
+      // HUGEINT CTE), /private/ pages are robots-denied, canonical identity
+      // is string identity, and with unlimited politeness each superstep
+      // attempts exactly the previous step's discoveries (a failed fetch
+      // backs off 30 s — beyond the 3-tick window, so at most one attempt
+      // per task). Reference semantics: scheduler.py:234-308 on_request +
+      // processor.py:110-189 follows.
+      "c1_crawl_frontier" -> {
+        // z0 = seed(42) XOR (h<<40) XOR (k<<8) XOR i — disjoint bit ranges
+        // except i overlapping 42's low bits, so XOR folds to arithmetic
+        s"""WITH hs(h) AS (VALUES (0),(1),(2)),
+pg AS (SELECT h, CAST(r.range AS INT) AS k FROM hs, range(20) r
+       WHERE r.range < CASE WHEN h = 0 THEN 20 ELSE 10 END),
+ii(i) AS (VALUES (0),(1),(2)),
+fanin AS (SELECT h, k, i,
+  (CAST(CASE i WHEN 0 THEN 42 WHEN 1 THEN 43 ELSE 40 END AS HUGEINT)
+   + CAST(k AS HUGEINT) * 256
+   + CAST(h AS HUGEINT) * CAST('1099511627776' AS HUGEINT)) AS z0
+  FROM pg, ii),
+${mix64Cte("fanin", "z0", "h, k, i")},
+fantgt AS (SELECT h, k,
+  CAST((((CASE WHEN mixed >= $S63 THEN mixed - $M64 ELSE mixed END)
+         % CASE WHEN h = 0 THEN 20 ELSE 10 END)
+        + CASE WHEN h = 0 THEN 20 ELSE 10 END)
+       % CASE WHEN h = 0 THEN 20 ELSE 10 END AS INT) AS t
+  FROM mixOut),
+canon AS (SELECT h, k,
+  'http://host' || CAST(h AS VARCHAR) || '.example.com' AS b,
+  CASE WHEN h = 0 THEN 20 ELSE 10 END AS np,
+  'http://host' || CAST(h AS VARCHAR) || '.example.com' ||
+    CASE WHEN k % 13 = 0 AND k > 0 THEN '/private/page/' ELSE '/page/' END ||
+    CAST(k AS VARCHAR) AS url
+  FROM pg),
+edges AS (
+  SELECT c.url AS src, c.b || '/page/' || CAST((c.k + 1) % c.np AS VARCHAR) AS dst
+    FROM canon c WHERE c.k % 17 = 0 AND c.k > 0
+  UNION ALL
+  SELECT c.url, c.b || '/page/' || CAST(f.t AS VARCHAR)
+    FROM canon c JOIN fantgt f ON c.h = f.h AND c.k = f.k
+    WHERE NOT (c.k % 17 = 0 AND c.k > 0)
+  UNION ALL
+  SELECT c.url, c.b || '/private/page/' || CAST(c.k + 13 - (c.k % 13) AS VARCHAR)
+    FROM canon c WHERE c.k % 5 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
+  UNION ALL
+  SELECT c.url, c.b || '/submit'
+    FROM canon c WHERE c.k % 7 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
+  UNION ALL
+  SELECT c.url, c.b || '/old/page' || CAST(c.k AS VARCHAR) || '.php?ref=c'
+    FROM canon c WHERE c.k % 11 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
+  UNION ALL
+  SELECT c.url, c.b || '/assets/img' || CAST(c.k AS VARCHAR) || '.png'
+    FROM canon c WHERE NOT (c.k % 17 = 0 AND c.k > 0)),
+fet AS (SELECT url FROM canon WHERE url NOT LIKE '%/private/%'),
+l0(url) AS (VALUES ('http://host0.example.com/page/1')),
+l1 AS (SELECT DISTINCT e.dst AS url FROM edges e
+       WHERE e.src IN (SELECT url FROM l0 WHERE url IN (SELECT url FROM fet))
+         AND e.dst NOT IN (SELECT url FROM l0)),
+l2 AS (SELECT DISTINCT e.dst AS url FROM edges e
+       WHERE e.src IN (SELECT url FROM l1 WHERE url IN (SELECT url FROM fet))
+         AND e.dst NOT IN (SELECT url FROM l0 UNION SELECT url FROM l1)),
+l3 AS (SELECT DISTINCT e.dst AS url FROM edges e
+       WHERE e.src IN (SELECT url FROM l2 WHERE url IN (SELECT url FROM fet))
+         AND e.dst NOT IN (SELECT url FROM l0 UNION SELECT url FROM l1
+                           UNION SELECT url FROM l2)),
+lv AS (SELECT url, 0 AS depth FROM l0 UNION ALL SELECT url, 1 FROM l1
+       UNION ALL SELECT url, 2 FROM l2 UNION ALL SELECT url, 3 FROM l3)
+SELECT 'p1' AS project, lv.url,
+  CAST(CASE WHEN depth = 3 THEN 1
+            WHEN lv.url IN (SELECT url FROM fet) THEN 2 ELSE 1 END AS INT) AS status,
+  CAST(CASE WHEN depth <= 2 AND lv.url NOT IN (SELECT url FROM fet)
+            THEN 1 ELSE 0 END AS INT) AS retried
+FROM lv ORDER BY lv.url"""
       }
-      // c1 (the crawl itself — an iterative superstep loop, covered by
-      // CrawlSpec + the resume/determinism suites) is the only remaining
-      // rows-only check.
     )
   }
 }

@@ -87,6 +87,50 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d6_neardup_ann: bucketed candidate joins only — no all-pairs broadcast nested loop") {
+    val df = SparkEntry.queries("d6_neardup_ann")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // d5's shape (the thing d6 exists to avoid): a non-equi full-corpus
+    // BroadcastNestedLoopJoin. d6's candidate joins are equi-joins on the
+    // LSH key / IVF cell, so candidates co-locate per bucket at any scale.
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("d6 ANN candidates recall planted near-duplicates (cos >= 0.99) at >= 90%") {
+    import spark.implicits._
+    import graft.text.TextStats.mix64
+    // 200 seeded base vectors + a jittered copy of each (cosine ~0.999):
+    // the candidate union (LSH hamming<=1 ∪ IVF same-cell) must surface
+    // almost every planted pair — THIS is the efficacy gate; the sf tables
+    // hold no true near-dups (max pair sim ~0.5, below LSH's design point)
+    val n = 200; val dim = 64
+    def unit(i: Int): Array[Float] = {
+      val v = Array.tabulate(dim)(d => (mix64(i.toLong * 131 + d).toDouble / Long.MaxValue).toFloat)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / nrm)
+    }
+    val rows = (0 until n).flatMap { i =>
+      val base = unit(i)
+      val jit = base.zipWithIndex.map { case (x, d) =>
+        x + 0.02f * (mix64((i + 7919).toLong * 131 + d).toDouble / Long.MaxValue).toFloat }
+      Seq((i.toLong, base.toSeq), ((i + n).toLong, jit.toSeq))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val keyed = e.selectExpr("vec_id", "embedding", "lsh_key(embedding, 8, 42) as k")
+    val lshPairs = keyed
+      .selectExpr("vec_id as a_id", "explode(lsh_probes(k, 8)) as k")
+      .join(keyed.selectExpr("vec_id as b_id", "k"), Seq("k")).where("b_id > a_id")
+    val cells = e.selectExpr("vec_id", "embedding", "ivf_cell(embedding, 16, 7) as cell")
+    val ivfPairs = cells.selectExpr("vec_id as a_id", "cell")
+      .join(cells.selectExpr("vec_id as b_id", "cell"), Seq("cell")).where("b_id > a_id")
+    val cand = lshPairs.select("a_id", "b_id").unionByName(ivfPairs.select("a_id", "b_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = (0 until n).count(i => cand.contains((i.toLong, (i + n).toLong)))
+    assert(recalled >= (0.9 * n).toInt, s"planted-pair recall $recalled/$n")
+  }
+
   test("robots gate: shuffle-join fallback (size gate off) is semantically identical to broadcast") {
     import spark.implicits._
     val pages = graft.gen.PageGen.pages(spark, graft.gen.PageGen.Config(nHosts = 4, pagesPerHost = 8)).toDF()
