@@ -43,24 +43,31 @@ object Bench {
       s"xxhash64(concat('http://host', cast(id % $hosts as string), '.example.com/p/', cast(id % $distinctPaths as string), '?a=1&b=', cast(id % 7 as string))) as url_hash")
     val canon = newTasks
       .selectExpr("canonicalize_url(raw_url) as url", "priority", "id")
-      // host of a CANONICAL url via codegen'd byte-level built-ins (no JVM
-      // String allocation; url_host() stays for the general API)
-      .selectExpr("url", "substring_index(substring_index(url, '://', -1), '/', 1) as host",
+      // the politeness/selection key travels as the 8-byte xxhash64 of the
+      // canonical host, never the host string: budget/selection state is
+      // keyed, not displayed, so host identity == host-hash identity, and
+      // the merge+selection shuffles carry fixed ~28-byte rows instead of
+      // variable ~70-byte rows — the memory-bandwidth diet the N->4N
+      // scaling lives on. Strings (url, host) re-enter only AFTER selection
+      // via a hash join over the selected subset, the same discipline as
+      // the superstep's flag join.
+      .selectExpr(
+        "xxhash64(substring_index(substring_index(url, '://', -1), '/', 1)) as host_hash",
         "xxhash64(url) as url_hash", "priority", "id")
     val merged = canon.groupBy("url_hash")
       .agg(max("priority").as("priority"), min("id").as("first_id"),
-        first("host", ignoreNulls = true).as("host"))
+        first("host_hash", ignoreNulls = true).as("host_hash"))
     val fresh = merged.join(seen, Seq("url_hash"), "left_anti")
     // ranked politeness selection via the partial-aggregable bounded heap
     // (TopKSelect) — no per-partition full sort; window fallback otherwise
     val selected =
       if (spark.catalog.functionExists("topk_select"))
-        fresh.groupBy("host")
+        fresh.groupBy("host_hash")
           .agg(expr("topk_select(50, priority, cast(0.0 as double), url_hash)").as("sel"))
           .select(explode(col("sel")).as("url_hash"))
       else
         fresh.withColumn("rnk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("host")
+            org.apache.spark.sql.expressions.Window.partitionBy("host_hash")
               .orderBy(col("priority").desc, col("url_hash").asc)))
           .where(col("rnk") <= 50)
     selected.count()
@@ -148,7 +155,7 @@ object Bench {
     // ---- full-crawl throughput (the BASELINE metric at bench scale)
     val crawlCfg = PageGen.Config(nHosts = 2000, pagesPerHost = 60, hotHosts = 20,
       hotFactor = 5, fanout = 8)
-    def crawlBench(spark0: SparkSession): (Long, Long, Long) = {
+    def crawlBench(spark0: SparkSession): (Long, Long, Long, Seq[Double]) = {
       import spark0.implicits._
       // DISK_ONLY: page html lives in spark.local.dir (tmpfs), not JVM heap
       val pages = PageGen.pages(spark0, crawlCfg).toDF()
@@ -162,7 +169,18 @@ object Bench {
         Crawler.CrawlConfig(maxSteps = 4, step = stepCfg))
       val nRes = run.results.count()
       pages.unpersist()
-      (run.totalScheduled, run.totalFresh, nRes)
+      (run.totalScheduled, run.totalFresh, nRes, run.stepSeconds)
+    }
+    // same-window micro-calibration, co-measured with each crawl round so a
+    // slow crawl number is attributable IN the artifact: spin = raw-thread
+    // CPU delivery, maponly = one codegen stage incl. memory traffic
+    def calibrate(): (Double, Double) = {
+      val iters = 2000000000L
+      val t0 = System.nanoTime(); ScalingRun.spinJob(cpus, iters / cpus)
+      val spinRate = iters / ((System.nanoTime() - t0) / 1e9)
+      val mn = 4000000L
+      val (_, mSec) = time(ScalingRun.mapOnlyJob(spark, mn))
+      (spinRate, mn / mSec)
     }
     if (sections("crawl")) try {
       val crawlRounds = sys.env.getOrElse("SPARK_GRAFT_CRAWL_ROUNDS", "2").toInt
@@ -170,12 +188,13 @@ object Bench {
       // refreshed after each round so a crash keeps the measured-so-far best
       (1 to crawlRounds).foreach { _ =>
         val (crawlStats, crawlSec) = time(crawlBench(spark))
+        val (calibSpin, calibMap) = calibrate()
         val crawlUrls = crawlStats._1 + crawlStats._2
         val crawlRate = crawlUrls / crawlSec
         if (crawlJson == "null" || crawlRate >
             "\"urls_per_sec\":([0-9.]+)".r.findFirstMatchIn(crawlJson).map(_.group(1).toDouble).getOrElse(0.0))
           crawlJson =
-            f"""{"pages":${PageGen.totalPages(crawlCfg)},"urls_scheduled_plus_new":$crawlUrls,"results":${crawlStats._3},"sec":${crawlSec}%.2f,"urls_per_sec":${crawlRate}%.0f}"""
+            f"""{"pages":${PageGen.totalPages(crawlCfg)},"urls_scheduled_plus_new":$crawlUrls,"results":${crawlStats._3},"sec":${crawlSec}%.2f,"urls_per_sec":${crawlRate}%.0f,"step_sec":${crawlStats._4.map(s => f"$s%.2f").mkString("[", ",", "]")},"calib_spin_per_sec":${calibSpin}%.0f,"calib_maponly_per_sec":${calibMap}%.0f}"""
         releaseAll(spark, gc = true)
       }
     } catch { case e: Throwable => System.err.println(s"[bench] crawl section died: $e") }
@@ -185,6 +204,8 @@ object Bench {
     // FRESH forked JVM (shared-heap/JIT state otherwise biases whichever
     // level runs second — observed ±30% swings in-process)
     if (doScaling && sections("scaling")) try {
+      // shuffle bytes of the most recent forked run carrying SHW/SHR markers
+      var lastShW = -1L; var lastShR = -1L
       def runForked(p: Int, job: String = "full"): Double = {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val opens = Seq(
@@ -212,8 +233,13 @@ object Bench {
         var line = rdr.readLine()
         while (line != null) { out.append(line).append('\n'); line = rdr.readLine() }
         proc.waitFor()
-        "RATE ([0-9.]+)".r.findFirstMatchIn(out.toString)
-          .map(_.group(1).toDouble)
+        val m = "RATE ([0-9.]+)(?: SHW ([0-9]+) SHR ([0-9]+))?".r.findFirstMatchIn(out.toString)
+        m.foreach { mm =>
+          if (mm.group(2) != null) {
+            lastShW = mm.group(2).toLong; lastShR = mm.group(3).toLong
+          }
+        }
+        m.map(_.group(1).toDouble)
           .getOrElse { System.err.println(s"[bench] scaling at $p failed:\n$out"); -1.0 }
       }
       // the sandbox VM shows time-varying CPU steal/throttle: alternate the
@@ -221,13 +247,17 @@ object Bench {
       // doesn't land entirely on one side of the ratio
       val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
       var r8 = -1.0; var r32 = -1.0
+      var shW = -1L; var shR = -1L
       (1 to rounds).foreach { _ =>
-        r8 = math.max(r8, runForked(8))
-        r32 = math.max(r32, runForked(32))
+        val a = runForked(8)
+        if (a > r8) { r8 = a; if (lastShW >= 0) { shW = lastShW; shR = lastShR } }
+        val b = runForked(32)
+        r32 = math.max(r32, b)
       }
       if (r8 > 0 && r32 > 0) {
         val eff = (r32 / r8) / 4.0
-        scalingJson = f"""{"job":"schedule_dedup","n_urls":$scaleN,"urls_per_sec_local8":${r8}%.0f,"urls_per_sec_local32":${r32}%.0f,"efficiency_8_to_32":${eff}%.3f}"""
+        val bytesRow = if (shW >= 0) f""","shuffle_write_bytes":$shW,"shuffle_read_bytes":$shR,"shuffle_write_bytes_per_row":${shW.toDouble / scaleN}%.1f""" else ""
+        scalingJson = f"""{"job":"schedule_dedup","n_urls":$scaleN,"urls_per_sec_local8":${r8}%.0f,"urls_per_sec_local32":${r32}%.0f,"efficiency_8_to_32":${eff}%.3f$bytesRow}"""
         // decomposition tiers: is the sub-4x residue ours or the VM's?
         // maponly = same map work, zero shuffles; spin = pure-register
         // threads (the VM's hard 8->32 CPU-delivery ceiling)
@@ -238,7 +268,7 @@ object Bench {
             val effM = (m32 / m8) / 4.0
             val effS = (s32 / s8) / 4.0
             scalingJson = scalingJson.dropRight(1) +
-              f""","maponly_8":${m8}%.0f,"maponly_32":${m32}%.0f,"efficiency_maponly":${effM}%.3f,"spin_8":${s8}%.0f,"spin_32":${s32}%.0f,"efficiency_hw_ceiling":${effS}%.3f,"efficiency_vs_hw":${math.min(1.0, eff / effS)}%.3f}"""
+              f""","maponly_8":${m8}%.0f,"maponly_32":${m32}%.0f,"efficiency_maponly":${effM}%.3f,"spin_8":${s8}%.0f,"spin_32":${s32}%.0f,"efficiency_hw_ceiling":${effS}%.3f,"efficiency_vs_hw":${math.min(1.0, eff / effS)}%.3f,"efficiency_vs_maponly":${math.min(1.0, eff / effM)}%.3f}"""
           }
         }
       }

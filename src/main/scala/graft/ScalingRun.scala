@@ -59,6 +59,17 @@ object ScalingRun {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val s = Udfs.newSession(s"local[$p]", p * mult, s"graft-scaling-$p")
     s.sparkContext.setLogLevel("ERROR")
+    // shuffle-byte evidence rides along with every rate: the sub-4x scaling
+    // residue claim ("single-box memory bandwidth") needs bytes in the
+    // artifact, not prose
+    val shW = new java.util.concurrent.atomic.AtomicLong
+    val shR = new java.util.concurrent.atomic.AtomicLong
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shW.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shR.addAndGet(e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      }
+    })
     if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG")) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -81,13 +92,18 @@ object ScalingRun {
       case _ => Bench.scheduleDedupJob(s, n / 8, n / 16)
     }
     warmup() // JIT + codegen warmup
-    val best = (1 to reps).map { _ =>
+    val measured = (1 to reps).map { _ =>
       System.gc()
+      val w0 = shW.get; val r0 = shR.get
       val t0 = System.nanoTime()
       run1()
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    println(f"RATE ${n / best}%.0f")
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are posted async; give the bus a beat to drain
+      Thread.sleep(200)
+      (sec, shW.get - w0, shR.get - r0)
+    }
+    val (best, bw, br) = measured.minBy(_._1)
+    println(f"RATE ${n / best}%.0f SHW $bw SHR $br")
     s.stop()
   }
 }

@@ -45,7 +45,9 @@ object Crawler {
       /** cumulative per-project counter totals INCLUDING prior runs resumed
         * from a store snapshot (reference counter reload: counter.py:416-434
         * + scheduler.py:135-137) */
-      counterTotals: Map[String, Map[String, Long]] = Map.empty)
+      counterTotals: Map[String, Map[String, Long]] = Map.empty,
+      /** wall seconds per superstep of THIS run (bench attribution) */
+      stepSeconds: Seq[Double] = Nil)
 
   val resultSchema: StructType = StructType(Seq(
     StructField("project", StringType), StructField("url_hash", LongType),
@@ -158,7 +160,9 @@ object Crawler {
     val totals = scala.collection.mutable.Map.empty[String, Map[String, Long]]
     resumed.foreach(_.counterTotals.foreach { case (p, m) => totals(p) = m })
 
+    val stepSecs = Seq.newBuilder[Double]
     while (!done && stepNo < cfg.maxSteps) {
+      val tStep = System.nanoTime()
       val now = cfg.now0 + (stepNo + 1) * cfg.tick
       // with a store, the URL-seen probe is the bucketed bloom side-file
       // index (partition-local, no driver round-trip); without, the exact
@@ -209,11 +213,12 @@ object Crawler {
       // alone can be a backoff/politeness lull, not emptiness
       activeRemaining += r.fresh - (r.doneSuccess + r.failed)
       done = activeRemaining == 0
+      stepSecs += (System.nanoTime() - tStep) / 1e9
     }
 
     pagesIdx.unpersist(false)
     robots.unpersist(false)
     CrawlRun(stepNo, totalScheduled, totalFresh, frontier, results, counters.result(),
-      finished.result(), totals.toMap)
+      finished.result(), totals.toMap, stepSecs.result())
   }
 }
