@@ -162,15 +162,18 @@ object SparkEntry {
     "a4b_trailing_rates" -> ((s, dir) => {
       // A4: the reference's TRAILING sliding-window rate counters
       // (counter.py:184-258 keeps 30x10s / 60x60s / 144x600s trailing
-      // buckets) — expressed as event-time range-between windows: per event,
-      // the count of same-type events in the last 5 minutes / 1 hour
+      // buckets = 5m / 1h / 1d tiers) — expressed as event-time
+      // range-between windows: per event, the count of same-type events in
+      // the last 5 minutes / 1 hour / 1 day
       val ev = t(s, dir, "events")
         .selectExpr("event_id", "event_type", "cast(unix_timestamp(ts) as long) as es")
       val w5m = Window.partitionBy("event_type").orderBy("es").rangeBetween(-300, 0)
       val w1h = Window.partitionBy("event_type").orderBy("es").rangeBetween(-3600, 0)
+      val w1d = Window.partitionBy("event_type").orderBy("es").rangeBetween(-86400, 0)
       ev.withColumn("cnt_5m", count(lit(1)).over(w5m))
         .withColumn("cnt_1h", count(lit(1)).over(w1h))
-        .select("event_id", "event_type", "cnt_5m", "cnt_1h")
+        .withColumn("cnt_1d", count(lit(1)).over(w1d))
+        .select("event_id", "event_type", "cnt_5m", "cnt_1h", "cnt_1d")
         .orderBy("event_id")
     }),
     "a7_token_budget" -> ((s, dir) => {
@@ -249,6 +252,23 @@ object SparkEntry {
       // X6: charset-detected decode (utf-8 path) round-trips bytes
       t(s, dir, "documents").selectExpr("doc_id",
           "extract_text(encode(concat('<p>', text, '</p>'), 'utf-8')) as txt")
+        .orderBy("doc_id")
+    }),
+    "x6b_charset_matrix" -> ((s, dir) => {
+      // X6 non-UTF-8 paths: fixed byte strings in three DECLARED charsets
+      // (meta charset sniffing per response.py:221-226, gb2312->gb18030
+      // promotion, iso-8859-1) — the oracle states the expected decoded
+      // text independently, so the whole detect+transcode pipeline is
+      // driver-checked, not only EncodingSpec-checked
+      val gbBytes = SparkEntry.X6bGb.getBytes(java.nio.charset.Charset.forName("GB18030"))
+      val l1Bytes = SparkEntry.X6bL1.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val u8Bytes = SparkEntry.X6bU8.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("raw",
+          when(expr("doc_id % 3") === 1, lit(gbBytes))
+            .when(expr("doc_id % 3") === 2, lit(l1Bytes))
+            .otherwise(lit(u8Bytes)))
+        .selectExpr("doc_id", "extract_text(raw) as txt")
         .orderBy("doc_id")
     }),
     "f4_inqueue_limit" -> ((s, dir) => {
@@ -512,6 +532,17 @@ object SparkEntry {
     })
   )
 
+  // X6b fixtures: fixed strings whose byte encodings exercise the non-UTF-8
+  // decode paths (gb2312-declared GB18030 bytes, iso-8859-1 bytes); the
+  // oracle re-states the expected decoded text as plain SQL literals.
+  // Payloads stay inside each charset's repertoire (latin-1 has no em dash).
+  private[graft] val X6bGb =
+    "<html><head><meta charset=gb2312></head><body>中文字符集测试页面，解码必须逐字一致。</body></html>"
+  private[graft] val X6bL1 =
+    "<html><head><meta charset=iso-8859-1></head><body>café naïve déjà vu, À bientôt ÿ</body></html>"
+  private[graft] val X6bU8 =
+    "<html><head><meta charset=utf-8></head><body>plain utf-8 päge</body></html>"
+
   // ---- DuckDB-side 64-bit modular arithmetic helpers (HUGEINT = signed
   // int128): the custom hash functions (FNV-1a, splitmix64) are reproduced
   // EXACTLY in the oracle so the driver independently recomputes simhash /
@@ -602,6 +633,8 @@ mixOut$sfx AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")}
         "SELECT doc_id, 'http://base.test/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents ORDER BY doc_id",
       "x6_extract_text" ->
         "SELECT doc_id, '<p>' || text || '</p>' AS txt FROM documents ORDER BY doc_id",
+      "x6b_charset_matrix" ->
+        s"""SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN '$X6bGb' WHEN 2 THEN '$X6bL1' ELSE '$X6bU8' END AS txt FROM documents ORDER BY doc_id""",
       "f9_robots" ->
         "SELECT doc_id, doc_id % 2 = 0 AS allowed FROM documents ORDER BY doc_id",
       "f11_redirects" ->
@@ -635,7 +668,7 @@ FROM events ORDER BY event_id""",
       "m2_mm_features" ->
         """SELECT doc_id AS media_id, doc_id % 3 AS media_type, 32 + doc_id % 96 AS width, 32 + (doc_id // 128) % 96 AS height, CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + (doc_id // 8192) % 30 ELSE 1 END AS BIGINT) AS frames, 1.0 AS feat_sum FROM documents ORDER BY media_id""",
       "a4b_trailing_rates" ->
-        """SELECT event_id, event_type, count(*) OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS cnt_5m, count(*) OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_1h FROM events ORDER BY event_id""",
+        """SELECT event_id, event_type, count(*) OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS cnt_5m, count(*) OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_1h, count(*) OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS cnt_1d FROM events ORDER BY event_id""",
       "t1_lang_id" -> {
         val hits = Seq("en", "de", "fr", "es").map(l =>
           s"len(list_filter(toks, t -> t IN (${stopwordsSql(l)}))) AS $l").mkString(", ")

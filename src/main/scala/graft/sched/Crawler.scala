@@ -58,7 +58,15 @@ object Crawler {
   /** Build the seed frontier from (project, url) pairs. */
   def seedFrontier(spark: SparkSession, seeds: Seq[(String, String)], now: Double): DataFrame = {
     import spark.implicits._
-    seeds.toDF("project", "raw_url")
+    seedFrontierDf(spark, seeds.toDF("project", "raw_url"), now)
+  }
+
+  /** DataFrame-native seed construction: (project, raw_url) rows -> frontier
+    * rows. The streaming path feeds micro-batches through this directly —
+    * seeds never collect to the driver. */
+  def seedFrontierDf(spark: SparkSession, seeds: DataFrame, now: Double): DataFrame = {
+    import spark.implicits._
+    seeds
       .withColumn("url", expr("canonicalize_url(raw_url)"))
       .withColumn("url_hash", xxhash64($"url"))
       .withColumn("host", expr("url_host(url)"))

@@ -246,7 +246,12 @@ object Superstep {
   def run(spark: SparkSession, frontier: DataFrame, budgets: DataFrame,
       pagesIdx: DataFrame, robots: DataFrame, projects: DataFrame,
       now: Double, cfg: Config = Config(),
-      seen: Option[graft.frontier.SeenFilter] = None): StepResult = {
+      seen: Option[graft.frontier.SeenFilter] = None,
+      /** extra (project, url_hash) keys to treat as already-seen on top of
+        * the snapshot index — the streaming path passes THIS micro-batch's
+        * seed keys (merged into the frontier after the index was written);
+        * small by construction, applied as a broadcast overlay */
+      extraSeen: Option[DataFrame] = None): StepResult = {
     import spark.implicits._
 
     // ---- W2: ready = exetime arrived (time queue folds into the filter).
@@ -393,7 +398,7 @@ object Superstep {
     // candidates/deduped counters — one pass over the candidate set instead
     // of two.
     val stepCached = Seq.newBuilder[DataFrame]
-    val flagged = (seen match {
+    val flaggedBase = (seen match {
       case None =>
         candidates.join(
           frontier.select($"project", $"url_hash").withColumn("f_seen", lit(true)),
@@ -415,6 +420,14 @@ object Superstep {
           sf.keysFor(spark, bucketsHit).withColumn("f_seen", lit(true)),
           Seq("project", "url_hash"), "left_outer")
         definitelyNew.unionByName(exact).drop("sbucket", "maybe_seen")
+    })
+    val flagged = (extraSeen match {
+      case Some(x) =>
+        flaggedBase.join(
+          broadcast(x.select($"project", $"url_hash").withColumn("es_seen", lit(true))),
+          Seq("project", "url_hash"), "left_outer")
+          .withColumn("f_seen", coalesce($"f_seen", $"es_seen")).drop("es_seen")
+      case None => flaggedBase
     }).withColumn("is_new", $"f_seen".isNull).drop("f_seen")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freshAll = flagged.where($"is_new").drop("is_new")

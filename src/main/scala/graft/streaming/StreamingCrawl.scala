@@ -52,29 +52,38 @@ object StreamingCrawl {
         val results = snap.map(_.results).getOrElse(Crawler.emptyResults(spark))
 
         // merge newly arrived seeds with full on_request semantics (J1/F5/F6:
-        // unknown -> insert; known + force_update/itag/age -> restart); the
-        // rows the merge changed become upserts, the brand-new keys enter
-        // the seen index
+        // unknown -> insert; known + force_update/itag/age -> restart). The
+        // seeds stay a DataFrame end-to-end (no driver collect), and every
+        // frontier-side operation is a scan probed by the BROADCAST seed
+        // keys — a micro-batch never shuffles or full-outer-joins the
+        // frontier: the on_request merge itself runs over only the frontier
+        // rows whose keys appear in the batch.
         val keys = Seq("project", "url_hash")
-        val newSeeds = batch.select("project", "url").collect()
-          .map(r => (r.getString(0), r.getString(1))).toSeq
         var seedUpserts = frontier.limit(0)
         var seedFreshKeys = frontier.select(keys.map(functions.col): _*).limit(0)
-        if (newSeeds.nonEmpty) {
-          val seedRows = Crawler.seedFrontier(spark, newSeeds, now)
-          seedFreshKeys = seedRows.select(keys.map(functions.col): _*)
-            .join(frontier.select(keys.map(functions.col): _*), keys, "left_anti")
-          frontier = Superstep.mergeIncoming(frontier, seedRows, now)
+        var extraSeen: Option[DataFrame] = None
+        if (!batch.isEmpty) {
+          val seedRows = Crawler.seedFrontierDf(spark,
+            batch.selectExpr("project", "url as raw_url"), now).localCheckpoint()
+          val incKeys = seedRows.select(keys.map(functions.col): _*)
+          val existing = frontier.join(broadcast(incKeys), keys, "left_semi")
+          val mergedSeed = Superstep.mergeIncoming(existing, seedRows, now)
             .localCheckpoint()
-          seedUpserts = frontier.join(seedRows.select(keys.map(functions.col): _*),
-            keys, "left_semi")
+          seedUpserts = mergedSeed
+          seedFreshKeys = incKeys.join(
+            broadcast(existing.select(keys.map(functions.col): _*)), keys, "left_anti")
+          frontier = frontier.join(broadcast(incKeys), keys, "left_anti")
+            .unionByName(mergedSeed)
+          // this batch's seed keys postdate the snapshot seen-index — the
+          // superstep treats them as seen via a broadcast overlay
+          extraSeen = Some(incKeys)
         }
 
-        // exact URL-seen path (seen=None): the in-batch frontier already
-        // includes this batch's seeds, which the snapshot seen-index can't
-        // know about yet
+        // J1 probes the snapshot's bucketed bloom side-file index (+ the
+        // in-batch seed overlay) — never an exact join against the full
+        // frontier key set per micro-batch
         val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
-          projects, now, cfg)
+          projects, now, cfg, store.seenFilter(spark), extraSeen)
         val newResultsDelta = r.newResults.join(results.select(keys.map(functions.col): _*),
           keys, "left_anti")
         // superstep upserts win over seed upserts when the same task was

@@ -56,6 +56,69 @@ class StreamingCrawlSpec extends AnyFunSuite {
       .where($"count" > 1).count() == 0)
   }
 
+  test("streaming J1 shape: the seen-index step probes delta files and adds no full-frontier key join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sj1").toString
+    val store = new FrontierStore(dir, 8)
+    val cfg = PageGen.Config(nHosts = 2, pagesPerHost = 8, hotHosts = 0, fanout = 2)
+    val pages = PageGen.pages(spark, cfg).toDF()
+    val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+    val now0 = 1700000000.0
+    graft.sched.Crawler.run(spark, pages, projects,
+      Seq("p1" -> "http://host0.example.com/page/1"),
+      graft.sched.Crawler.CrawlConfig(maxSteps = 2, now0 = now0), Some(store))
+    val snap = store.read(spark).get
+    val (pagesIdx, robots) = graft.sched.Superstep.preparePages(spark, pages)
+    // shape detection on the ANALYZED plan (persisted intermediates hide
+    // file relations behind InMemoryRelation further down). The bad shape
+    // is J1's exact fallback: a join whose one side is a PURE projection of
+    // the frontier relation (its only file relation is the frontier, and no
+    // extraction Generate in between) — i.e. "join candidates against the
+    // full frontier key set". The seen-index mode must not contain it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def fileRels(p: LogicalPlan): Seq[String] = p.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[org.apache.hadoop.fs.Path].map(_.toString)
+      }
+    }.flatten
+    def refs(df: org.apache.spark.sql.DataFrame, frag: String): Int =
+      fileRels(df.queryExecution.analyzed).count(_.contains(frag))
+    // ... joined against the EXTRACTION output (a Generate in the other
+    // side): that is "check every candidate against all frontier keys".
+    // The lifecycle gate (frontier semi-join vs the tiny projects dim) is
+    // fine and must not trip this.
+    def hasFullFrontierKeyJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect { case j: Join => j }.exists { j =>
+        Seq((j.left, j.right), (j.right, j.left)).exists { case (side, other) =>
+          val rels = fileRels(side)
+          rels.nonEmpty && rels.forall(_.contains("/frontier/")) &&
+            side.collect { case g: Generate => g }.isEmpty &&
+            other.collect { case g: Generate => g }.nonEmpty
+        }
+      }
+    val extra = Seq(("p1", 12345L)).toDF("project", "url_hash")
+    val rIdx = graft.sched.Superstep.run(spark, snap.frontier, snap.budgets, pagesIdx,
+      robots, projects, now0 + 3, graft.sched.Superstep.Config(),
+      store.seenFilter(spark), Some(extra))
+    val rExact = graft.sched.Superstep.run(spark, snap.frontier, snap.budgets, pagesIdx,
+      robots, projects, now0 + 3, graft.sched.Superstep.Config())
+    // the J1 output's lineage: the seen-index mode reads the pruned
+    // seen-delta bucket files and adds NO full-frontier key join; the exact
+    // fallback (the shape streaming mode must avoid) shows both inversions
+    assert(refs(rIdx.freshKeys, "/seen-delta/") > 0,
+      "seen-index mode must probe the bucketed seen-delta files")
+    assert(refs(rExact.freshKeys, "/seen-delta/") == 0)
+    assert(!hasFullFrontierKeyJoin(rIdx.freshKeys),
+      "seen-index mode must not join against the full frontier key set")
+    assert(hasFullFrontierKeyJoin(rExact.freshKeys)) // contrast: detector sees the bad shape
+    // and the two paths agree on the data
+    val a = rIdx.upserts.select("project", "url_hash", "status").orderBy("url_hash").collect().toSeq
+    val b = rExact.upserts.select("project", "url_hash", "status").orderBy("url_hash").collect().toSeq
+    assert(a == b)
+    rIdx.unpersistAll(); rExact.unpersistAll()
+  }
+
   test("W3 processing-timeout analogue: a batch killed after selection, before commit, is re-selected on resume") {
     // the reference re-queues tasks whose status pack never arrives within
     // processing_timeout (task_queue.py:117,160-170). In the snapshot model
