@@ -529,6 +529,35 @@ object SparkEntry {
       // PageGen graph, so the output keeps to oracle-checkable columns
       run.frontier.selectExpr("project", "url", "status", "retried")
         .orderBy("url")
+    }),
+
+    "c2_conditional_fetch" -> ((s, dir) => {
+      // conditional fetch (tornado_fetcher.py:257-276): tasks carrying a
+      // stored ETag that matches the page's current ETag take the 304 path
+      // (success, but no result row); mismatches full-fetch and refresh the
+      // stored header. 30 tasks, even ids match, odd ids don't.
+      Udfs.register(s)
+      import s.implicits._
+      val html = "<html><body>x</body></html>".getBytes("UTF-8")
+      val ts = new java.sql.Timestamp(0L)
+      val pages = (0 until 30).map(i =>
+          (s"http://h0.test/p/$i", ts, html, "", "en", s"e${i % 5}", null: String))
+        .toDF("url", "warc_ts", "html", "text", "lang", "etag", "last_modified")
+      val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      val frontier = Crawler.seedFrontierDf(s,
+          (0 until 30).map(i => ("p1", s"http://h0.test/p/$i")).toDF("project", "raw_url"), 0.0)
+        .withColumn("i", regexp_extract($"url", "/p/([0-9]+)$", 1).cast("int"))
+        .withColumn("etag",
+          when($"i" % 2 === 0, concat(lit("e"), ($"i" % 5).cast("string"))).otherwise(lit("ex")))
+        .drop("i")
+      val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
+        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false))
+      r.upserts.join(
+          r.newResults.select($"project", $"url_hash").withColumn("got_result", lit(true)),
+          Seq("project", "url_hash"), "left_outer")
+        .select($"url", $"status", $"etag", coalesce($"got_result", lit(false)).as("got_result"))
+        .orderBy("url")
     })
   )
 
@@ -952,7 +981,16 @@ SELECT 'p1' AS project, lv.url,
   CAST(CASE WHEN depth <= 2 AND lv.url NOT IN (SELECT url FROM fet)
             THEN 1 ELSE 0 END AS INT) AS retried
 FROM lv ORDER BY lv.url"""
-      }
+      },
+      // c2: conditional fetch — closed-form: every task fetches OK (status
+      // 2) and refreshes its stored etag to the page's; only MISMATCHED
+      // tasks (odd i) re-extract and emit a result
+      "c2_conditional_fetch" ->
+        """SELECT 'http://h0.test/p/' || CAST(i AS VARCHAR) AS url,
+ CAST(2 AS INT) AS status,
+ 'e' || CAST(i % 5 AS VARCHAR) AS etag,
+ (i % 2 = 1) AS got_result
+FROM (SELECT unnest(range(0, 30)) AS i) ORDER BY url"""
     )
   }
 }

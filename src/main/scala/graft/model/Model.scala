@@ -52,7 +52,11 @@ final case class Task(
     method: String, // get | post | link
     data: String, // serialized form/ajax payload
     lastcrawltime: Double,
-    updatetime: Double
+    updatetime: Double,
+    /** conditional-fetch track headers from the last successful fetch
+      * (tornado_fetcher.py:257-276 If-None-Match / If-Modified-Since) */
+    etag: String = null,
+    last_modified: String = null
 )
 
 object Task {

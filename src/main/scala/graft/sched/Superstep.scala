@@ -68,10 +68,15 @@ object Superstep {
     def unpersistAll(): Unit = cached.foreach(_.unpersist(false))
   }
 
-  /** Columns every frontier DataFrame carries (graft.model.Task flattened). */
+  /** Columns every frontier DataFrame carries (graft.model.Task flattened).
+    * `etag`/`last_modified` are the conditional-fetch track headers
+    * (tornado_fetcher.py:257-276): stored from the last successful fetch,
+    * compared against the page's current headers on re-fetch — a match is a
+    * 304-equivalent (content processed but not re-extracted). */
   val frontierCols: Seq[String] = Seq("project", "url_hash", "url", "host", "status",
     "priority", "exetime", "retries", "retried", "age", "itag", "force_update",
-    "auto_recrawl", "cancel", "seed_url", "method", "data", "lastcrawltime", "updatetime")
+    "auto_recrawl", "cancel", "seed_url", "method", "data", "lastcrawltime", "updatetime",
+    "etag", "last_modified")
 
   /** Pages side of the fetch join, prepared ONCE per crawl: canonical key +
     * xxhash64 identity, bucket-partitioned by the join key so every
@@ -89,10 +94,15 @@ object Superstep {
     // header (Common-Crawl metadata); absent, every row is a 200
     val hasRedirects = pages.columns.contains("http_status") &&
       pages.columns.contains("location")
-    val base =
+    val base0 =
       if (hasRedirects) pages
       else pages.withColumn("http_status", lit(200))
         .withColumn("location", lit(null).cast("string"))
+    // conditional-fetch headers: a pages table MAY carry the capture's
+    // ETag / Last-Modified (Common-Crawl metadata); absent, both are null
+    // and the 304 path never fires
+    val base = Seq("etag", "last_modified").foldLeft(base0)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
     val canon = expr("canonicalize_url(url)")
     val withKeys = base
       .withColumn("curl", canon)
@@ -106,13 +116,16 @@ object Superstep {
     val content = withKeys
       .filter(expr("parse_url(curl, 'PATH')") =!= "/robots.txt")
       .groupBy(col("page_hash"))
-      .agg(min_by(struct(col("curl"), col("html"), col("http_status"), col("location")),
+      .agg(min_by(struct(col("curl"), col("html"), col("http_status"), col("location"),
+          col("etag"), col("last_modified")),
         xxhash64(col("html"))).as("m"))
       .select(col("page_hash"), col("m.curl").as("page_url"), col("m.html").as("html"),
-        col("m.http_status").as("http_status"), col("m.location").as("location"))
+        col("m.http_status").as("http_status"), col("m.location").as("location"),
+        col("m.etag").as("page_etag"), col("m.last_modified").as("page_lm"))
     val resolved =
       if (hasRedirects) resolveRedirects(content)
-      else content.select(col("page_hash"), col("page_url"), col("html"))
+      else content.select(col("page_hash"), col("page_url"), col("html"),
+          col("page_etag"), col("page_lm"))
         .withColumn("redirect_hops", lit(0))
     // hash-partition the index ONCE on the fetch-join key: the persisted
     // layout (HashPartitioning(page_hash)) is reused by every superstep's
@@ -144,12 +157,15 @@ object Superstep {
       .withColumn("loc_hash",
         when(isRedir, xxhash64(expr("canonicalize_url(url_resolve(page_url, location))"))))
     // targets are probed by hash; the chain walk below touches only the
-    // redirect subset (typically a small fraction of the table)
+    // redirect subset (typically a small fraction of the table). The FINAL
+    // response's conditional-fetch headers travel with the content.
     val targets = withLoc.select(
       col("page_hash").as("t_hash"), col("page_url").as("t_url"),
-      col("html").as("t_html"), isRedir.as("t_redir"), col("loc_hash").as("t_loc"))
+      col("html").as("t_html"), isRedir.as("t_redir"), col("loc_hash").as("t_loc"),
+      col("page_etag").as("t_etag"), col("page_lm").as("t_lm"))
     val terminal = withLoc.where(!isRedir)
-      .select(col("page_hash"), col("page_url"), col("html"))
+      .select(col("page_hash"), col("page_url"), col("html"),
+        col("page_etag"), col("page_lm"))
       .withColumn("redirect_hops", lit(0))
 
     var pending = withLoc.where(isRedir)
@@ -159,7 +175,8 @@ object Superstep {
       val j = pending.join(targets, pending("next_hash") === targets("t_hash"), "left_outer")
       val landed = j.where(!coalesce(col("t_redir"), lit(false)))
         .select(col("page_hash"), col("t_url").as("page_url"),
-          col("t_html").as("html"), col("hops").as("redirect_hops"))
+          col("t_html").as("html"), col("t_etag").as("page_etag"),
+          col("t_lm").as("page_lm"), col("hops").as("redirect_hops"))
       done = done.unionByName(landed)
       pending = j.where(coalesce(col("t_redir"), lit(false)))
         .select(col("page_hash"), col("t_loc").as("next_hash"), (col("hops") + 1).as("hops"))
@@ -167,7 +184,9 @@ object Superstep {
     // chains still pending after max hops => too-many-redirects failure
     val exceeded = pending.select(col("page_hash"),
       lit(null).cast("string").as("page_url"),
-      lit(null).cast("binary").as("html"), col("hops").as("redirect_hops"))
+      lit(null).cast("binary").as("html"),
+      lit(null).cast("string").as("page_etag"),
+      lit(null).cast("string").as("page_lm"), col("hops").as("redirect_hops"))
     done.unionByName(exceeded)
   }
 
@@ -215,6 +234,10 @@ object Superstep {
             when(cancelled, lit(TaskStatus.Bad)).otherwise(lit(TaskStatus.Active)))
             .otherwise($"status"))
       case "lastcrawltime" => coalesce($"lastcrawltime", lit(0.0))
+      // conditional-fetch track headers persist across restarts (the
+      // reference keeps task['track'] through on_old_request; a restarted
+      // task still sends If-None-Match from its last successful fetch)
+      case "etag" | "last_modified" => col(c)
       case "updatetime" =>
         when(isNew || ($"i_url".isNotNull && restart), lit(now)).otherwise($"updatetime")
       case "project" | "url_hash" => col(c)
@@ -344,7 +367,15 @@ object Superstep {
             expr("parse_url(url, 'PATH')"))
         else lit(true))
       .withColumn("fetch_ok", $"html".isNotNull && $"robots_ok")
-      .withColumn("page_text", when($"fetch_ok", expr("extract_text(html)")))
+      // conditional fetch (If-None-Match / If-Modified-Since): the task's
+      // stored track headers matching the page's current headers is the
+      // 304 path — the fetch succeeds but the content is known-unchanged,
+      // so decode/extraction/result-sink are all skipped for the row
+      .withColumn("not_modified", $"fetch_ok" &&
+        (($"etag".isNotNull && $"etag" === $"page_etag") ||
+          ($"last_modified".isNotNull && $"last_modified" === $"page_lm")))
+      .withColumn("page_text",
+        when($"fetch_ok" && !$"not_modified", expr("extract_text(html)")))
       .drop("robots_txt", "html")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -354,13 +385,13 @@ object Superstep {
     // UDF+explode pair is the fallback on vanilla sessions.
     val follows0 =
       if (spark.catalog.functionExists("extract_follows_rows"))
-        fetched.where($"fetch_ok")
+        fetched.where($"fetch_ok" && !$"not_modified")
           .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
             expr("extract_follows_rows(page_text, final_url)"))
           .select($"project", $"parent_url", $"parent_host",
             $"url".as("raw_url"), $"method", $"data")
       else
-        fetched.where($"fetch_ok")
+        fetched.where($"fetch_ok" && !$"not_modified")
           .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
             explode(expr("extract_follows(page_text, final_url)")).as("f"))
           .select($"project", $"parent_url", $"parent_host",
@@ -386,7 +417,9 @@ object Superstep {
         lit(false).as("force_update"), lit(false).as("auto_recrawl"),
         lit(false).as("cancel"), $"m.parent_url".as("seed_url"),
         $"m.method".as("method"), $"m.data".as("data"),
-        lit(0.0).as("lastcrawltime"), lit(now).as("updatetime"), $"dups")
+        lit(0.0).as("lastcrawltime"), lit(now).as("updatetime"),
+        lit(null).cast("string").as("etag"), lit(null).cast("string").as("last_modified"),
+        $"dups")
 
     // ---- J1: URL-seen check. With a seen-index: partition-local bloom
     // probe first (definitely-new skips the exact check), then an exact
@@ -467,11 +500,15 @@ object Superstep {
           .otherwise(when($"delay" < 0, $"exetime").otherwise(lit(now) + $"delay")))
       .withColumn("new_retried",
         when($"fetch_ok" || $"delay" < 0, $"retried").otherwise($"retried" + 1))
+      // track headers refresh on every successful fetch (latest response
+      // replaces the stored pair, nulls included); failures keep the old
+      .withColumn("new_etag", when($"fetch_ok", $"page_etag").otherwise($"etag"))
+      .withColumn("new_lm", when($"fetch_ok", $"page_lm").otherwise($"last_modified"))
     val updates = statusCalc
       .select($"project", $"url_hash",
         $"new_status", $"new_exetime", $"new_retried",
         lit(now).as("new_lastcrawltime"), lit(now).as("new_updatetime"),
-        $"fetch_ok")
+        $"new_etag", $"new_lm", $"fetch_ok")
     // full post-update rows for the selected batch — the copy-on-write
     // store upserts these directly, so the snapshot write touches only the
     // buckets this step changed (never a full-frontier merge join)
@@ -480,7 +517,8 @@ object Superstep {
       $"new_status".as("status"), $"priority", $"new_exetime".as("exetime"),
       $"retries", $"new_retried".as("retried"), $"age", $"itag",
       $"force_update", $"auto_recrawl", $"cancel", $"seed_url", $"method",
-      $"data", lit(now).as("lastcrawltime"), lit(now).as("updatetime"))
+      $"data", lit(now).as("lastcrawltime"), lit(now).as("updatetime"),
+      $"new_etag".as("etag"), $"new_lm".as("last_modified"))
 
     // ---- frontier merge: apply updates, append fresh
     val merged = frontier.join(
@@ -496,7 +534,11 @@ object Superstep {
         $"age", $"itag", $"force_update", $"auto_recrawl", $"cancel",
         $"seed_url", $"method", $"data",
         coalesce($"new_lastcrawltime", $"lastcrawltime").as("lastcrawltime"),
-        coalesce($"new_updatetime", $"updatetime").as("updatetime"))
+        coalesce($"new_updatetime", $"updatetime").as("updatetime"),
+        // selected rows take the refreshed track headers even when the new
+        // value is null (coalesce would wrongly resurrect the old one)
+        when($"u_fetch_ok".isNotNull, $"new_etag").otherwise($"etag").as("etag"),
+        when($"u_fetch_ok".isNotNull, $"new_lm").otherwise($"last_modified").as("last_modified"))
       .unionByName(fresh.select(frontierCols.map(col): _*))
 
     // ---- budgets update: subtract consumed, advance clocks. Only hosts
@@ -516,9 +558,10 @@ object Superstep {
         Seq("project", "host"), "left_anti")
       .unionByName(touched)
 
-    // ---- S6/F8/P8: result rows for successfully fetched pages
+    // ---- S6/F8/P8: result rows for successfully fetched pages (a 304
+    // not-modified fetch produces no new result — content is unchanged)
     val newResults = fetched
-      .where($"fetch_ok")
+      .where($"fetch_ok" && !$"not_modified")
       .withColumn("ext", lower(regexp_extract(expr("parse_url(url, 'PATH')"),
         "\\.([A-Za-z0-9]+)$", 1)))
       .where(!$"ext".isin("png", "js", "css")) // conf/url_filter.conf
@@ -533,7 +576,8 @@ object Superstep {
     // full_outer joins: at superstep cadence every extra join is its own
     // AQE stage wave of pure fixed cost
     val counterCols = Seq("scheduled", "fetched", "succeeded", "done_success",
-      "failed_now", "retried", "new_tasks", "in_batch_dups", "candidates")
+      "failed_now", "retried", "new_tasks", "in_batch_dups", "candidates",
+      "not_modified")
     def shape(df: DataFrame): DataFrame = {
       val padded = counterCols.foldLeft(df)((d, c) =>
         if (d.columns.contains(c)) d else d.withColumn(c, lit(0L)))
@@ -550,7 +594,8 @@ object Superstep {
       sum(when($"fetch_ok", 1L).otherwise(0L)).as("succeeded"),
       sum(when($"new_status" === TaskStatus.Success, 1L).otherwise(0L)).as("done_success"),
       sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Failed, 1L).otherwise(0L)).as("failed_now"),
-      sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Active, 1L).otherwise(0L)).as("retried"))
+      sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Active, 1L).otherwise(0L)).as("retried"),
+      sum(when($"not_modified", 1L).otherwise(0L)).as("not_modified"))
     // candidates + fresh counters come from ONE pass over the flagged frame
     // (new_tasks must count POST-limit inserts, so the non-default
     // INQUEUE_LIMIT path still aggregates the limited fresh separately)

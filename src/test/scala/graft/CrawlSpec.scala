@@ -22,7 +22,7 @@ class CrawlSpec extends AnyFunSuite {
     rows.map { case (id, h, pr, exe) =>
       ("p1", h, s"http://h0.test/$id", "h0.test", TaskStatus.Active, pr, exe,
         3, 0, -1.0, null: String, false, false, false, s"http://h0.test/$id", "link", "",
-        0.0, now0)
+        0.0, now0, null: String, null: String)
     }.toDF(Superstep.frontierCols: _*)
 
   private def emptyPages: (DataFrame, DataFrame) = {
@@ -431,6 +431,53 @@ class CrawlSpec extends AnyFunSuite {
       .withColumn("b", sf2.bucketCol(col("project"), col("url_hash")))
       .where(!sf2.probe(col("b"), col("skey"))).count()
     assert(misses == 0, s"$misses committed keys missing from the rebuilt bloom")
+  }
+
+  test("conditional fetch: matching ETag is a 304 — no re-extract, no result; changed ETag re-extracts") {
+    val html = """<html><body><a href="/next">n</a></body></html>""".getBytes("UTF-8")
+    def pagesTagged(tag: String) = Seq(
+      ("http://h0.test/start", new java.sql.Timestamp(0L), html, "", "en", tag, null: String))
+      .toDF("url", "warc_ts", "html", "text", "lang", "etag", "last_modified")
+    val projects = projectsDf(1000.0, 1000.0)
+    // auto_recrawl age=0: the task re-fetches every superstep
+    val frontier0 = mkFrontier(Seq(("start", 0L, 0, 0.0)))
+      .withColumn("url", lit("http://h0.test/start"))
+      .withColumn("url_hash", expr("xxhash64(url)"))
+      .withColumn("auto_recrawl", lit(true)).withColumn("age", lit(0.0))
+    val (idx1, rb1) = Superstep.preparePages(spark, pagesTagged("v1"))
+    val cfg = Superstep.Config(respectRobots = false)
+
+    // fetch 1: no stored etag -> full fetch: /next discovered, result emitted, etag v1 stored
+    val r1 = Superstep.run(spark, frontier0, Crawler.emptyBudgets(spark), idx1, rb1,
+      projects, now0 + 1, cfg)
+    assert(r1.fresh == 1 && r1.newResults.count() == 1)
+    val f1 = r1.frontier.localCheckpoint()
+    assert(f1.where($"url_hash" === xxhash64(lit("http://h0.test/start")))
+      .select("etag").collect().head.getString(0) == "v1")
+    r1.unpersistAll()
+
+    // fetch 2, same content: stored v1 == page v1 -> 304: SUCCESS-equivalent,
+    // but NO result row and NO re-extraction (0 candidates from this page)
+    val r2 = Superstep.run(spark, f1, Crawler.emptyBudgets(spark), idx1, rb1,
+      projects, now0 + 2, cfg)
+    assert(r2.newResults.count() == 0)
+    val c2 = r2.counterRows.find(_.getAs[String]("project") == "p1").get
+    assert(c2.getAs[Long]("not_modified") == 1)
+    assert(c2.getAs[Long]("candidates") == 0) // extraction skipped entirely
+    val f2 = r2.frontier.localCheckpoint()
+    r2.unpersistAll()
+
+    // fetch 3, content changed (etag v2): full fetch again — result re-emitted,
+    // stored etag refreshes to v2
+    val (idx3, rb3) = Superstep.preparePages(spark, pagesTagged("v2"))
+    val r3 = Superstep.run(spark, f2, Crawler.emptyBudgets(spark), idx3, rb3,
+      projects, now0 + 3, cfg)
+    assert(r3.newResults.count() == 1)
+    assert(r3.counterRows.find(_.getAs[String]("project") == "p1").get
+      .getAs[Long]("not_modified") == 0)
+    assert(r3.frontier.where($"url" === "http://h0.test/start")
+      .select("etag").collect().head.getString(0) == "v2")
+    r3.unpersistAll()
   }
 
   test("W7 retry ladder: missing page retries then fails; backoff times are exact") {
