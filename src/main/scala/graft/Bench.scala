@@ -89,10 +89,12 @@ object Bench {
       f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDirState","crawl":$crawlJson,"scaling":$scalingJson}"""
     // belt-and-braces for the driver's parser (rounds 1+2 both ended with
     // parsed:null because sbt's logger wrapped the line): (1) the JSON to a
-    // well-known file, (2) a bare JSON line as the LAST stdout line (raw —
+    // well-known file in the working directory (= the repo root when run
+    // via sbt), (2) a bare JSON line as the LAST stdout line (raw —
     // build.sbt sets run/outputStrategy := StdoutOutput so no [info] prefix)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json)
-    catch { case _: Throwable => () }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_JSON_PATH", "BENCH_LAST.json")), json)
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST.json write failed: $e") }
     System.out.flush(); System.err.flush()
     println(json)
     System.out.flush()

@@ -378,20 +378,26 @@ object SparkEntry {
       // join, no full-corpus broadcast: both candidate joins are bucketed
       // equi-joins on (k)/(cell), so at 100 TB each task sees one bucket.
       // d5 (all-pairs) remains solely the small-sf recall oracle.
+      // candidate generation carries (vec_id, key) ONLY — embeddings rejoin
+      // by id AFTER the pair dedup (the same payload-after-selection
+      // discipline as d3's band join: the 9x multi-probe explode must not
+      // fan 64-float vectors through the candidate shuffles)
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val keyed = e.selectExpr("vec_id", "embedding", "lsh_key(embedding, 8, 42) as k")
+      val keyed = e.selectExpr("vec_id", "lsh_key(embedding, 8, 42) as k")
       val lshPairs = keyed
-        .selectExpr("vec_id as a_id", "embedding as ea", "explode(lsh_probes(k, 8)) as k")
-        .join(keyed.selectExpr("vec_id as b_id", "embedding as eb", "k"), Seq("k"))
+        .selectExpr("vec_id as a_id", "explode(lsh_probes(k, 8)) as k")
+        .join(keyed.selectExpr("vec_id as b_id", "k"), Seq("k"))
         .where("b_id > a_id")
-      val cells = e.selectExpr("vec_id", "embedding", "ivf_cell(embedding, 16, 7) as cell")
-      val ivfPairs = cells.selectExpr("vec_id as a_id", "embedding as ea", "cell")
-        .join(cells.selectExpr("vec_id as b_id", "embedding as eb", "cell"), Seq("cell"))
+      val cells = e.selectExpr("vec_id", "ivf_cell(embedding, 16, 7) as cell")
+      val ivfPairs = cells.selectExpr("vec_id as a_id", "cell")
+        .join(cells.selectExpr("vec_id as b_id", "cell"), Seq("cell"))
         .where("b_id > a_id")
-      lshPairs.select("a_id", "b_id", "ea", "eb")
-        .unionByName(ivfPairs.select("a_id", "b_id", "ea", "eb"))
+      lshPairs.select("a_id", "b_id")
+        .unionByName(ivfPairs.select("a_id", "b_id"))
+        .distinct() // dedup candidates BEFORE touching vectors
+        .join(e.selectExpr("vec_id as a_id", "embedding as ea"), Seq("a_id"))
+        .join(e.selectExpr("vec_id as b_id", "embedding as eb"), Seq("b_id"))
         .selectExpr("a_id", "b_id", "round(cosine_sim(ea, eb), 4) as sim")
-        .groupBy("a_id", "b_id").agg(max("sim").as("sim")) // dedup candidates
         .where("sim >= 0.3")
         .orderBy("a_id", "b_id")
     }),

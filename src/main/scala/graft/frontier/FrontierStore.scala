@@ -200,6 +200,9 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     // set when a compaction drops drained (FINISHED) projects — the seen
     // rewrite below filters those projects' keys with the same frame
     var keepProjects: Option[DataFrame] = None
+    // compaction-persisted merge frame, released only after the seen
+    // section (keepProjects derives from it)
+    var compactCache: Option[DataFrame] = None
     val writtenCounts: Map[Int, Long] =
       if (skipFrontierWrite) Map.empty
       else {
@@ -219,25 +222,41 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
               .withColumn("bucket", frontierBucket)
               .unionByName(up)
         }
-        // FINISHED-project cleanup (delete_project): at compaction a project
-        // with zero ACTIVE rows has drained — drop all its rows. Projects
-        // with ACTIVE work (incl. STOP-ed ones awaiting re-activation) keep
-        // their full row set.
+        // FINISHED-project cleanup: at compaction a project with zero
+        // ACTIVE rows has drained — drop all its rows. This matches the
+        // reference EXACTLY: when a project's unfinished count reaches 0
+        // the scheduler sets status FINISHED and calls taskdb.drop
+        // (scheduler.py:372-373) — drain IS deletion there too, and a
+        // re-seeded URL after the drop is legitimately brand-new. Projects
+        // with ACTIVE work (incl. STOP-ed ones awaiting re-activation)
+        // keep their full row set.
+        val merged1 =
+          if (full && dropDrainedOnCompact)
+            // compaction reads every live bucket; persist so the ACTIVE-
+            // project scan and the partitionBy write don't both re-read
+            // the whole frontier from parquet
+            merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else merged0
         val mergedTouched =
           if (full && dropDrainedOnCompact) {
-            val act = merged0.where(col("status") === graft.model.TaskStatus.Active)
+            val act = merged1.where(col("status") === graft.model.TaskStatus.Active)
               .select("project").distinct()
             keepProjects = Some(act)
-            merged0.join(broadcast(act), Seq("project"), "left_semi")
-          } else merged0
+            merged1.join(broadcast(act), Seq("project"), "left_semi")
+          } else merged1
         mergedTouched.write.mode(SaveMode.Overwrite)
           .partitionBy("bucket").parquet(tmp.resolve("frontier").toString)
+        if (merged1 ne merged0) compactCache = Some(merged1)
         // per-bucket lineage: owner + row count. A fully-empty write (e.g.
         // compaction of an emptied store) also yields no files — read back
         // only if bucket dirs exist.
         val anyBucketDir = {
           val d = tmp.resolve("frontier")
-          Files.exists(d) && Files.list(d).anyMatch(p => p.getFileName.toString.startsWith("bucket="))
+          Files.exists(d) && {
+            val ls = Files.list(d)
+            try ls.anyMatch(p => p.getFileName.toString.startsWith("bucket="))
+            finally ls.close()
+          }
         }
         if (!anyBucketDir) Map.empty
         else spark.read.parquet(tmp.resolve("frontier").toString)
@@ -395,20 +414,9 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     }.mkString("[", ",", "]")
     // cumulative per-project totals (reference counter reload semantics):
     // prev totals + this step's numeric counter fields
-    val counterTotals: Map[String, Map[String, Long]] = {
-      val base0 = prev.map(_.counterTotals).getOrElse(Map.empty)
-      counterRowsC.foldLeft(base0) { (acc, r) =>
-        val p = r.getAs[String]("project")
-        val stepVals = r.schema.fields.collect {
-          case f if f.name != "project" && r.getAs[Any](f.name).isInstanceOf[Long] =>
-            f.name -> r.getAs[Long](f.name)
-        }.toMap
-        val merged = stepVals.foldLeft(acc.getOrElse(p, Map.empty[String, Long])) {
-          case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v)
-        }
-        acc.updated(p, merged)
-      }
-    }
+    val counterTotals: Map[String, Map[String, Long]] =
+      counterRowsC.foldLeft(prev.map(_.counterTotals).getOrElse(Map.empty))(
+        FrontierStore.foldCounterRow)
     val total = rowsPerBucket.sum
     val lineageJson = touched
       .map(b => s"""{"partition":$b,"rows":${rowsPerBucket(b)},"owner":$id}""")
@@ -431,6 +439,7 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
          |"counters":$perProject}""".stripMargin
     Files.writeString(tmp.resolve("manifest.json"), manifest)
     up.unpersist(false)
+    compactCache.foreach(_.unpersist(false))
 
     val fin = snapDir(id)
     deleteRecursively(fin)
@@ -458,6 +467,22 @@ object FrontierStore {
   /** Bumped whenever the snapshot/manifest layout changes — a mismatched
     * store fails fast with a descriptive error instead of a regex NPE. */
   val FormatVersion = 3
+
+  /** Fold one per-project counter Row's Long fields into running totals —
+    * ONE implementation shared by the store's persisted manifest totals and
+    * Crawler's in-memory totals, so the two can never silently diverge. */
+  def foldCounterRow(acc: Map[String, Map[String, Long]],
+      row: org.apache.spark.sql.Row): Map[String, Map[String, Long]] = {
+    val p = row.getAs[String]("project")
+    val stepVals = row.schema.fields.collect {
+      case f if f.name != "project" && row.getAs[Any](f.name).isInstanceOf[Long] =>
+        f.name -> row.getAs[Long](f.name)
+    }
+    val merged = stepVals.foldLeft(acc.getOrElse(p, Map.empty[String, Long])) {
+      case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v)
+    }
+    acc.updated(p, merged)
+  }
 
   /** Minimal JSON string escaping (quote, backslash, control chars). */
   def jsonStr(s: String): String = {

@@ -83,21 +83,30 @@ object SeenFilter {
     override def removeEldestEntry(e: java.util.Map.Entry[String, (BloomFilter, Long)]): Boolean =
       false // eviction handled explicitly (byte budget, not entry count)
   }
-  def load(path: String): BloomFilter = cache.synchronized {
-    val hit = cache.get(path)
+  def load(path: String): BloomFilter = {
+    val hit = cache.synchronized(cache.get(path))
     if (hit != null) hit._1
     else {
+      // deserialize OUTSIDE the monitor: concurrent tasks loading different
+      // buckets must not serialize their multi-MB reads behind one lock
+      // (a rare duplicate same-path load is benign — first insert wins)
       val bytes = Files.size(Paths.get(path))
       val in = Files.newInputStream(Paths.get(path))
       val bloom = try BloomFilter.readFrom(in) finally in.close()
-      cache.put(path, (bloom, bytes))
-      cachedBytes += bytes
-      val it = cache.entrySet().iterator()
-      while (cachedBytes > maxBytes && cache.size() > 1 && it.hasNext) {
-        val eldest = it.next()
-        if (eldest.getKey != path) { cachedBytes -= eldest.getValue._2; it.remove() }
+      cache.synchronized {
+        val raced = cache.get(path)
+        if (raced != null) raced._1
+        else {
+          cache.put(path, (bloom, bytes))
+          cachedBytes += bytes
+          val it = cache.entrySet().iterator()
+          while (cachedBytes > maxBytes && cache.size() > 1 && it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != path) { cachedBytes -= eldest.getValue._2; it.remove() }
+          }
+          bloom
+        }
       }
-      bloom
     }
   }
   /** test hooks */

@@ -209,13 +209,7 @@ object Crawler {
           (row.getAs[Long]("done_success") + row.getAs[Long]("failed_now"))
         activeByProject(p) = after
         if (before > 0 && after == 0) finished += p
-        val stepVals = row.schema.fields.collect {
-          case f if f.name != "project" && row.getAs[Any](f.name).isInstanceOf[Long] =>
-            f.name -> row.getAs[Long](f.name)
-        }
-        totals(p) = stepVals.foldLeft(totals.getOrElse(p, Map.empty[String, Long])) {
-          case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v)
-        }
+        totals(p) = FrontierStore.foldCounterRow(totals.toMap, row)(p)
       }
       r.unpersistAll()
       // terminate only when no ACTIVE task remains anywhere — scheduled==0

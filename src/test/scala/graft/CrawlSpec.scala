@@ -477,7 +477,22 @@ class CrawlSpec extends AnyFunSuite {
       .getAs[Long]("not_modified") == 0)
     assert(r3.frontier.where($"url" === "http://h0.test/start")
       .select("etag").collect().head.getString(0) == "v2")
+    val f3 = r3.frontier.localCheckpoint()
     r3.unpersistAll()
+
+    // fetch 4: the refreshed capture serves NO ETag while the task still
+    // stores v2 — `stored === NULL` is SQL-NULL and must not poison the
+    // row (three-valued-logic trap): this is a FULL fetch with a result,
+    // and the stored header clears to the page's (null)
+    val (idx4, rb4) = Superstep.preparePages(spark, pagesTagged(null))
+    val r4 = Superstep.run(spark, f3, Crawler.emptyBudgets(spark), idx4, rb4,
+      projects, now0 + 4, cfg)
+    assert(r4.newResults.count() == 1)
+    assert(r4.counterRows.find(_.getAs[String]("project") == "p1").get
+      .getAs[Long]("not_modified") == 0)
+    assert(r4.frontier.where($"url" === "http://h0.test/start")
+      .select("etag").collect().head.getString(0) == null)
+    r4.unpersistAll()
   }
 
   test("W7 retry ladder: missing page retries then fails; backoff times are exact") {
