@@ -419,6 +419,23 @@ object SparkEntry {
     "t5_token_count_bpe" -> ((s, dir) =>
       t(s, dir, "documents").selectExpr("doc_id",
           "cast(token_count_bpe(text) as bigint) as n_bpe").orderBy("doc_id")),
+    "t6_corpus_pipeline" -> ((s, dir) =>
+      // the end-to-end training-data shape, composed from already-oracled
+      // operators in ONE declarative plan: quality gate -> language gate ->
+      // exact-dedup by 64-bit fingerprint -> token accounting. The dedup
+      // shuffle carries (fp, doc_id, n_tokens) — document text never enters
+      // an exchange (the 100 TB discipline; grouping by raw text would fan
+      // the whole corpus through the shuffle)
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "quality_score(text) as q", "lang_id(text) as lang",
+          "fingerprint64(text) as fp",
+          "cast(size(split(trim(text), '\\\\s+')) as bigint) as n_tokens")
+        .where("q >= 0.72 and lang = 'en'")
+        .groupBy(col("fp"))
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("copies"),
+          min("n_tokens").as("n_tokens"))
+        .select("keeper_id", "copies", "n_tokens")
+        .orderBy("keeper_id")),
 
     // ================= similarity search =================
     "v1_ann_brute" -> ((s, dir) => {
@@ -733,6 +750,46 @@ s AS (SELECT doc_id,
   + 0.25 * (CASE WHEN mean_word >= 2.5 AND mean_word <= 10.0 THEN 1.0 ELSE 0.3 END) AS sc
   FROM c)
 SELECT doc_id, round(sc * 1e6) / 1e6 AS q FROM s ORDER BY doc_id"""
+      },
+      // t6: the composed pipeline — quality (t3 formula) AND lang (t1
+      // vote) gates, then fingerprint-dedup (t4 arithmetic) + token counts
+      // (t2), all independently recomputed
+      "t6_corpus_pipeline" -> {
+        val allSw = stopwordsSql.values.mkString(",")
+        val hits = Seq("en", "de", "fr", "es").map(l =>
+          s"len(list_filter(toks, t -> t IN (${stopwordsSql(l)}))) AS $l").mkString(", ")
+        s"""WITH tk6 AS (SELECT doc_id, text, length(text) AS n,
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents),
+q6 AS (SELECT doc_id,
+    round((0.3 * least(1.0, n / 500.0) * (CASE WHEN n > 100000 THEN 0.5 ELSE 1.0 END)
+  + 0.25 * (CASE WHEN pr > 0.3 THEN 0.0 ELSE 1.0 - pr / 0.3 END)
+  + 0.2 * least(1.0, swr / 0.2)
+  + 0.25 * (CASE WHEN mw >= 2.5 AND mw <= 10.0 THEN 1.0 ELSE 0.3 END)) * 1e6) / 1e6 AS q
+  FROM (SELECT doc_id, n,
+      length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / n AS pr,
+      len(list_filter(toks, t -> t IN ($allSw))) * 1.0 / len(toks) AS swr,
+      list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS mw
+    FROM tk6)),
+l6 AS (SELECT doc_id, $hits FROM tk6),
+lang6 AS (SELECT doc_id, CASE WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+  WHEN en = greatest(en,de,fr,es) THEN 'en'
+  WHEN de = greatest(en,de,fr,es) THEN 'de'
+  WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+  ELSE 'es' END AS lang_pred FROM l6),
+keep6 AS (SELECT t.doc_id, t.text,
+    CAST(length(string_split_regex(trim(t.text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM tk6 t JOIN q6 USING (doc_id) JOIN lang6 USING (doc_id)
+  WHERE q6.q >= 0.72 AND lang6.lang_pred = 'en'),
+nm6 AS (SELECT doc_id, n_tokens,
+    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM keep6),
+fp6 AS (SELECT doc_id, n_tokens,
+  list_reduce(
+    list_prepend(CAST(1125899906842597 AS HUGEINT),
+      list_transform(string_split(norm, ''), c -> CAST(unicode(c) AS HUGEINT))),
+    (h, c) -> (31 * h + c) % $M64) AS u
+  FROM nm6)
+SELECT min(doc_id) AS keeper_id, count(*) AS copies, min(n_tokens) AS n_tokens
+FROM fp6 GROUP BY u ORDER BY keeper_id"""
       },
       "t4_fingerprint" -> {
         s"""WITH nm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents),

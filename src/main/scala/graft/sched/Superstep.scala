@@ -338,12 +338,25 @@ object Superstep {
           .drop("rnk", "allowed")
       }
     if (cfg.perProjectLimit > 0) {
-      val projW = Window.partitionBy($"project")
-        .orderBy($"priority".desc, $"exetime".asc, $"url_hash".asc)
-      selected = selected
-        .withColumn("prnk", row_number().over(projW))
-        .where($"prnk" <= cfg.perProjectLimit)
-        .drop("prnk")
+      // W5 fair share — same scale path as W1: the bounded-heap aggregate
+      // combines map-side (O(n log k), no per-project full sort); a hot
+      // project's rows never serialize through one window partition
+      selected =
+        if (useTopK) {
+          val capIds = selected
+            .groupBy($"project")
+            .agg(expr(s"topk_select(${cfg.perProjectLimit}, priority, exetime, url_hash)")
+              .as("sel"))
+            .select($"project", explode($"sel").as("url_hash"))
+          selected.join(capIds, Seq("project", "url_hash"), "left_semi")
+        } else {
+          val projW = Window.partitionBy($"project")
+            .orderBy($"priority".desc, $"exetime".asc, $"url_hash".asc)
+          selected
+            .withColumn("prnk", row_number().over(projW))
+            .where($"prnk" <= cfg.perProjectLimit)
+            .drop("prnk")
+        }
     }
 
     // ---- J2 fetch join + F9 robots gate (checked at fetch time, like the

@@ -82,14 +82,22 @@ class CrawlSpec extends AnyFunSuite {
     assert(counts.sum <= 2.0 * 5 + 3)
   }
 
-  test("W5 fair share caps per-project dispatch") {
-    val frontier = mkFrontier((1 to 20).map(i => (s"t$i", i.toLong, 0, 0.0)))
+  test("W5 fair share caps per-project dispatch (heap aggregate == window fallback)") {
+    // mixed priorities so the cap actually ranks (not just truncates)
+    val frontier = mkFrontier((1 to 20).map(i => (s"t$i", i.toLong, i % 4, 0.0)))
     val (pagesIdx, robots) = emptyPages
-    val r = Superstep.run(spark, frontier, Crawler.emptyBudgets(spark), pagesIdx, robots,
-      projectsDf(1000.0, 1000.0), now0 + 1,
-      Superstep.Config(respectRobots = false, perProjectLimit = 5))
-    assert(r.scheduled == 5)
-    r.unpersistAll()
+    def selectedSet(topK: Boolean): Seq[Long] = {
+      val r = Superstep.run(spark, frontier, Crawler.emptyBudgets(spark), pagesIdx, robots,
+        projectsDf(1000.0, 1000.0), now0 + 1,
+        Superstep.Config(respectRobots = false, perProjectLimit = 5,
+          topKAggSelection = topK))
+      assert(r.scheduled == 5)
+      val sel = r.frontier.where($"lastcrawltime" === now0 + 1)
+        .select("url_hash").as[Long].collect().sorted.toSeq
+      r.unpersistAll(); sel
+    }
+    // the bounded-heap path must pick exactly the window path's W5 set
+    assert(selectedSet(topK = true) == selectedSet(topK = false))
   }
 
   test("end-to-end fixture crawl: dedup, same-domain, robots, extension filter, canonical identity") {

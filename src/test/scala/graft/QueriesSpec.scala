@@ -131,6 +131,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(recalled >= (0.9 * n).toInt, s"planted-pair recall $recalled/$n")
   }
 
+  test("t6_corpus_pipeline: no exchange ships document text; filters precede the dedup agg") {
+    val df = SparkEntry.queries("t6_corpus_pipeline")(spark, dir)
+    df.collect()
+    def exchangesOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.exchange.Exchange] = {
+      val self = p match {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => Seq(e)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => exchangesOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => exchangesOf(q.plan)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(exchangesOf)
+    }
+    val exchanges = exchangesOf(df.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"pipeline exchange must not carry document text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("robots gate: shuffle-join fallback (size gate off) is semantically identical to broadcast") {
     import spark.implicits._
     val pages = graft.gen.PageGen.pages(spark, graft.gen.PageGen.Config(nHosts = 4, pagesPerHost = 8)).toDF()
