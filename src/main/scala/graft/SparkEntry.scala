@@ -254,6 +254,20 @@ object SparkEntry {
           "extract_text(encode(concat('<p>', text, '</p>'), 'utf-8')) as txt")
         .orderBy("doc_id")
     }),
+    "x3_quote_chinese" -> ((s, dir) =>
+      // X3/X4: canonicalization matrix over fixed messy inputs — non-ASCII
+      // percent-encoding (quote_chinese: UTF-8 bytes >= 0x80 -> %XX),
+      // spaces, dot-segment removal, case/port/fragment collapse, query
+      // param sort; the oracle states the expected canonical strings
+      // (public RFC-3986 + UTF-8 arithmetic) independently
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("raw",
+          when(expr("doc_id % 4") === 0, lit("HTTP://H0.Example.COM:80/a/b/../c/./d#frag"))
+            .when(expr("doc_id % 4") === 1, lit("http://h0.example.com/p?id=展示"))
+            .when(expr("doc_id % 4") === 2, lit("http://h0.example.com/搜 索/p"))
+            .otherwise(lit("http://h0.example.com/p?b=2&a=1&b=1")))
+        .selectExpr("doc_id", "canonicalize_url(raw) as curl")
+        .orderBy("doc_id")),
     "x6b_charset_matrix" -> ((s, dir) => {
       // X6 non-UTF-8 paths: fixed byte strings in three DECLARED charsets
       // (meta charset sniffing per response.py:221-226, gb2312->gb18030
@@ -687,6 +701,14 @@ mixOut$sfx AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")}
         "SELECT doc_id, '<p>' || text || '</p>' AS txt FROM documents ORDER BY doc_id",
       "x6b_charset_matrix" ->
         s"""SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN '$X6bGb' WHEN 2 THEN '$X6bL1' ELSE '$X6bU8' END AS txt FROM documents ORDER BY doc_id""",
+      // 展=E5B195 示=E7A4BA 搜=E690 9C 索=E7B4A2 (UTF-8); space -> %20
+      "x3_quote_chinese" ->
+        """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+ WHEN 0 THEN 'http://h0.example.com/a/c/d'
+ WHEN 1 THEN 'http://h0.example.com/p?id=%E5%B1%95%E7%A4%BA'
+ WHEN 2 THEN 'http://h0.example.com/%E6%90%9C%20%E7%B4%A2/p'
+ ELSE 'http://h0.example.com/p?a=1&b=1&b=2' END AS curl
+FROM documents ORDER BY doc_id""",
       "f9_robots" ->
         "SELECT doc_id, doc_id % 2 = 0 AS allowed FROM documents ORDER BY doc_id",
       "f11_redirects" ->
