@@ -254,6 +254,57 @@ object SparkEntry {
           "extract_text(encode(concat('<p>', text, '</p>'), 'utf-8')) as txt")
         .orderBy("doc_id")
     }),
+    "p2_extract_forms" -> ((s, dir) => {
+      // P2/X8: form extraction + element serialization — the response.txt
+      // POST golden (even doc_ids) and the GET-with-url-params radio/select
+      // cartesian (odd doc_ids, 2x2 = 4 submissions); expected url/method/
+      // data stated independently in the oracle (arrayUnique sort order,
+      // percent-encoding, url-param move per extractors.js:352-398)
+      val postForm =
+        """<form method="post" name="form1" enctype="multipart/form-data" action="post_link.php">
+<input type="text" name="id" size="30" value="1"><br>
+<input type="text" name="msg" size="30" value="abc">
+<input type="submit" value="提交" name="B1">
+</form>"""
+      val getForm =
+        """<form method="GET" action="/search?src=nav">
+<input type="text" name="q" value="spark">
+<input type="radio" name="sex" value="M">
+<input type="radio" name="sex" value="F">
+<select name="rel">
+  <option value="a">A</option>
+  <option>b text</option>
+</select>
+<input type="submit" name="go" value="Go!">
+</form>"""
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("html",
+          when(expr("doc_id % 2") === 0, lit(postForm)).otherwise(lit(getForm)))
+        .withColumn("base",
+          when(expr("doc_id % 2") === 0, lit("http://127.0.0.1:14887/form"))
+            .otherwise(lit("http://h.com/page")))
+        .withColumn("f", explode(call_udf("extract_follows", col("html"), col("base"))))
+        .selectExpr("doc_id", "f.url as url", "f.method as method", "f.data as data")
+        .orderBy("doc_id", "data")
+    }),
+    "x7_link_text_comments" -> ((s, dir) => {
+      // X7/P4: anchor-text collapse (whitespace, entities, nested tags) and
+      // commented-link extraction (absolute + relative-with-html-extension,
+      // tagged __comments; non-html extensions dropped)
+      val anchorHtml = "<a href=\"/x\">  hello\n  <b>world</b> &amp; friends  </a>"
+      val commentHtml =
+        """<a href="/x">x</a>
+<!-- see http://other.com/hidden?a=1 and also old.php?id=3 plus readme.txt -->"""
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("html",
+          when(expr("doc_id % 2") === 0, lit(anchorHtml)).otherwise(lit(commentHtml)))
+        .withColumn("base",
+          when(expr("doc_id % 2") === 0, lit("http://h.com/"))
+            .otherwise(lit("http://h.com/dir/page.html")))
+        .withColumn("f", explode(call_udf("extract_follows", col("html"), col("base"))))
+        .selectExpr("doc_id", "f.url as url", "f.text as text")
+        .orderBy("doc_id", "url")
+    }),
     "x3_quote_chinese" -> ((s, dir) =>
       // X3/X4: canonicalization matrix over fixed messy inputs — non-ASCII
       // percent-encoding (quote_chinese: UTF-8 bytes >= 0x80 -> %XX),
@@ -701,6 +752,35 @@ mixOut$sfx AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")}
         "SELECT doc_id, '<p>' || text || '</p>' AS txt FROM documents ORDER BY doc_id",
       "x6b_charset_matrix" ->
         s"""SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN '$X6bGb' WHEN 2 THEN '$X6bL1' ELSE '$X6bU8' END AS txt FROM documents ORDER BY doc_id""",
+      // p2: expected form submissions — POST golden (docs/response.txt:
+      // B1=提交 percent-encoded, arrayUnique lexicographic sort) and the
+      // GET cartesian (radio x select = 4 rows; url params folded into data)
+      "p2_extract_forms" ->
+        """SELECT doc_id, 'http://127.0.0.1:14887/post_link.php' AS url,
+ 'post' AS method, 'B1=%E6%8F%90%E4%BA%A4&id=1&msg=abc' AS data
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'http://h.com/search' AS url, 'get' AS method, v.d AS data
+FROM documents, (VALUES
+  ('go=Go!&q=spark&rel=a&sex=F&src=nav'),
+  ('go=Go!&q=spark&rel=a&sex=M&src=nav'),
+  ('go=Go!&q=spark&rel=b%20text&sex=F&src=nav'),
+  ('go=Go!&q=spark&rel=b%20text&sex=M&src=nav')) v(d)
+WHERE doc_id % 2 = 1
+ORDER BY doc_id, data""",
+      // x7/p4: expected links — collapsed anchor text on even docs; anchor +
+      // two __comments links (absolute, relative .php) on odd docs, with the
+      // non-html readme.txt dropped
+      "x7_link_text_comments" ->
+        """SELECT doc_id, 'http://h.com/x' AS url, 'hello world & friends' AS text
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, u, t FROM documents, (VALUES
+  ('http://h.com/dir/old.php?id=3', '__comments'),
+  ('http://h.com/x', 'x'),
+  ('http://other.com/hidden?a=1', '__comments')) v(u, t)
+WHERE doc_id % 2 = 1
+ORDER BY doc_id, url""",
       // 展=E5B195 示=E7A4BA 搜=E690 9C 索=E7B4A2 (UTF-8); space -> %20
       "x3_quote_chinese" ->
         """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
