@@ -254,6 +254,44 @@ object SparkEntry {
           "extract_text(encode(concat('<p>', text, '</p>'), 'utf-8')) as txt")
         .orderBy("doc_id")
     }),
+    "f5_merge_matrix" -> ((s, dir) => {
+      // F5/F6 on_request restart semantics (scheduler.py:234-308) as a
+      // closed-form matrix over event ids: stored itag v(id%3) vs incoming
+      // v(id%2) (itag restart), incoming age 50/1000/-1 by id%4 against
+      // lastcrawltime=now-100 (age restart), force_update id%7, cancel
+      // id%11 (restart+cancel -> BAD), id%5==0 receives no incoming
+      // (untouched), id%5==4 arrives under a NEW key (insert ACTIVE)
+      Udfs.register(s)
+      val now = 1700000100.0
+      val ids = t(s, dir, "events").selectExpr("cast(event_id as long) as id").distinct()
+      val frontier = ids.selectExpr(
+        "'p' as project", "id as url_hash", "concat('http://h.test/', id) as url",
+        "'h.test' as host", "2 as status", "0 as priority",
+        "cast(0.0 as double) as exetime", "3 as retries", "0 as retried",
+        "cast(case when id % 4 = 0 then 50.0 when id % 4 = 1 then 1000.0 else -1.0 end as double) as age",
+        "concat('v', id % 3) as itag", "false as force_update",
+        "false as auto_recrawl", "false as cancel",
+        "concat('http://h.test/', id) as seed_url", "'link' as method", "'' as data",
+        s"cast(${now - 100} as double) as lastcrawltime",
+        s"cast(${now - 100} as double) as updatetime",
+        "cast(null as string) as etag", "cast(null as string) as last_modified")
+      val incoming = ids.where("id % 5 != 0")
+        .selectExpr("id", "case when id % 5 = 4 then id + 1000000 else id end as kid")
+        .selectExpr(
+          "'p' as project", "kid as url_hash", "concat('http://h.test/', kid) as url",
+          "'h.test' as host", "1 as status", "1 as priority",
+          "cast(0.0 as double) as exetime", "3 as retries", "0 as retried",
+          "cast(case when id % 4 = 0 then 50.0 when id % 4 = 1 then 1000.0 else -1.0 end as double) as age",
+          "concat('v', id % 2) as itag", "(id % 7 = 0) as force_update",
+          "false as auto_recrawl", "(id % 11 = 0) as cancel",
+          "concat('http://h.test/', kid) as seed_url", "'link' as method", "'' as data",
+          "cast(0.0 as double) as lastcrawltime",
+          s"cast($now as double) as updatetime",
+          "cast(null as string) as etag", "cast(null as string) as last_modified")
+      graft.sched.Superstep.mergeIncoming(frontier, incoming, now)
+        .selectExpr("url_hash", "status", "updatetime")
+        .orderBy("url_hash")
+    }),
     "p2_extract_forms" -> ((s, dir) => {
       // P2/X8: form extraction + element serialization — the response.txt
       // POST golden (even doc_ids) and the GET-with-url-params radio/select
@@ -752,6 +790,25 @@ mixOut$sfx AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")}
         "SELECT doc_id, '<p>' || text || '</p>' AS txt FROM documents ORDER BY doc_id",
       "x6b_charset_matrix" ->
         s"""SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN '$X6bGb' WHEN 2 THEN '$X6bL1' ELSE '$X6bU8' END AS txt FROM documents ORDER BY doc_id""",
+      // f5: restart matrix — the same predicate recomputed as arithmetic:
+      // restart = itag change (id%3 vs id%2) OR age expiry (id%4==0) OR
+      // force_update (id%7==0); restart+cancel (id%11==0) -> BAD(4)
+      "f5_merge_matrix" ->
+        """WITH ids AS (SELECT DISTINCT CAST(event_id AS BIGINT) AS id FROM events),
+m AS (
+  -- untouched: no incoming under this key (id%5==4's incoming arrives
+  -- under a NEW key, so its original row is untouched too)
+  SELECT id AS url_hash, 2 AS status, 1700000000.0 AS updatetime
+  FROM ids WHERE id % 5 IN (0, 4)
+  UNION ALL
+  SELECT id,
+    CASE WHEN restart THEN (CASE WHEN id % 11 = 0 THEN 4 ELSE 1 END) ELSE 2 END,
+    CASE WHEN restart THEN 1700000100.0 ELSE 1700000000.0 END
+  FROM (SELECT id, ((id % 3) <> (id % 2)) OR (id % 4 = 0) OR (id % 7 = 0) AS restart
+        FROM ids WHERE id % 5 NOT IN (0, 4))
+  UNION ALL
+  SELECT id + 1000000, 1, 1700000100.0 FROM ids WHERE id % 5 = 4)
+SELECT url_hash, CAST(status AS INT) AS status, updatetime FROM m ORDER BY url_hash""",
       // p2: expected form submissions — POST golden (docs/response.txt:
       // B1=提交 percent-encoded, arrayUnique lexicographic sort) and the
       // GET cartesian (radio x select = 4 rows; url params folded into data)
