@@ -657,6 +657,39 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "c3_crawl_store" -> ((s, dir) => {
+      // the SAME crawl as c1 but through the persisted FrontierStore: COW
+      // snapshot commits, the bucketed bloom seen-index (J1 partition-local
+      // probe + pruned exact check), and the final resume-read all sit on
+      // the path; the output must still equal the closed-form BFS oracle
+      Udfs.register(s)
+      import s.implicits._
+      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
+      val pages = PageGen.pages(s, cfg).toDF()
+      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+      val store = new graft.frontier.FrontierStore(
+        java.nio.file.Files.createTempDirectory("graft-c3").toString, 8,
+        seenBuckets = 16, bloomItemsPerBucket = 4096)
+      Crawler.run(s, pages, projects,
+        Seq("p1" -> "http://host0.example.com/page/1"),
+        Crawler.CrawlConfig(maxSteps = 3), Some(store))
+      store.read(s).get.frontier
+        .selectExpr("project", "url", "status", "retried").orderBy("url")
+    }),
+
+    "c4_crawl_results" -> ((s, dir) => {
+      // the crawl's result sink (S6/F8/P8): one row per successful fetch
+      Udfs.register(s)
+      import s.implicits._
+      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
+      val pages = PageGen.pages(s, cfg).toDF()
+      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+      val run = Crawler.run(s, pages, projects,
+        Seq("p1" -> "http://host0.example.com/page/1"),
+        Crawler.CrawlConfig(maxSteps = 3))
+      run.results.selectExpr("project", "url", "type").orderBy("url")
+    }),
+
     "c2_conditional_fetch" -> ((s, dir) => {
       // conditional fetch (tornado_fetcher.py:257-276): tasks carrying a
       // stored ETag that matches the page's current ETag take the 304 path
@@ -741,6 +774,82 @@ mixOut$sfx AS (SELECT $keep, ${xor64("z3", "z3 // CAST(2147483648 AS HUGEINT)")}
     "de" -> "'der','die','das','und','ist','ein','eine','zu','den','von','mit','nicht','auf','für','im'",
     "fr" -> "'le','la','les','et','est','un','une','de','des','du','que','pour','dans','sur','pas'",
     "es" -> "'el','la','los','las','y','es','un','una','de','del','que','para','en','por','no'")
+
+  // c1/c3/c4 share one independent recomputation of the ENTIRE 3-superstep
+  // crawl BFS in DuckDB from the closed-form PageGen graph (FIXTURES.md §1):
+  // link targets are splitmix64 arithmetic (the mix64 HUGEINT CTE),
+  // /private/ pages are robots-denied, canonical identity is string
+  // identity, and with unlimited politeness each superstep attempts exactly
+  // the previous step's discoveries (a failed fetch backs off 30 s — beyond
+  // the 3-tick window, so at most one attempt per task). Reference:
+  // scheduler.py:234-308 on_request + processor.py:110-189 follows.
+  // z0 = seed(42) XOR (h<<40) XOR (k<<8) XOR i — disjoint bit ranges except
+  // i overlapping 42's low bits, so XOR folds to arithmetic.
+  private lazy val c1BfsCte: String =
+    s"""WITH hs(h) AS (VALUES (0),(1),(2)),
+pg AS (SELECT h, CAST(r.range AS INT) AS k FROM hs, range(20) r
+       WHERE r.range < CASE WHEN h = 0 THEN 20 ELSE 10 END),
+ii(i) AS (VALUES (0),(1),(2)),
+fanin AS (SELECT h, k, i,
+  (CAST(CASE i WHEN 0 THEN 42 WHEN 1 THEN 43 ELSE 40 END AS HUGEINT)
+   + CAST(k AS HUGEINT) * 256
+   + CAST(h AS HUGEINT) * CAST('1099511627776' AS HUGEINT)) AS z0
+  FROM pg, ii),
+${mix64Cte("fanin", "z0", "h, k, i")},
+fantgt AS (SELECT h, k,
+  CAST((((CASE WHEN mixed >= $S63 THEN mixed - $M64 ELSE mixed END)
+         % CASE WHEN h = 0 THEN 20 ELSE 10 END)
+        + CASE WHEN h = 0 THEN 20 ELSE 10 END)
+       % CASE WHEN h = 0 THEN 20 ELSE 10 END AS INT) AS t
+  FROM mixOut),
+canon AS (SELECT h, k,
+  'http://host' || CAST(h AS VARCHAR) || '.example.com' AS b,
+  CASE WHEN h = 0 THEN 20 ELSE 10 END AS np,
+  'http://host' || CAST(h AS VARCHAR) || '.example.com' ||
+    CASE WHEN k % 13 = 0 AND k > 0 THEN '/private/page/' ELSE '/page/' END ||
+    CAST(k AS VARCHAR) AS url
+  FROM pg),
+edges AS (
+  SELECT c.url AS src, c.b || '/page/' || CAST((c.k + 1) % c.np AS VARCHAR) AS dst
+    FROM canon c WHERE c.k % 17 = 0 AND c.k > 0
+  UNION ALL
+  SELECT c.url, c.b || '/page/' || CAST(f.t AS VARCHAR)
+    FROM canon c JOIN fantgt f ON c.h = f.h AND c.k = f.k
+    WHERE NOT (c.k % 17 = 0 AND c.k > 0)
+  UNION ALL
+  SELECT c.url, c.b || '/private/page/' || CAST(c.k + 13 - (c.k % 13) AS VARCHAR)
+    FROM canon c WHERE c.k % 5 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
+  UNION ALL
+  SELECT c.url, c.b || '/submit'
+    FROM canon c WHERE c.k % 7 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
+  UNION ALL
+  SELECT c.url, c.b || '/old/page' || CAST(c.k AS VARCHAR) || '.php?ref=c'
+    FROM canon c WHERE c.k % 11 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
+  UNION ALL
+  SELECT c.url, c.b || '/assets/img' || CAST(c.k AS VARCHAR) || '.png'
+    FROM canon c WHERE NOT (c.k % 17 = 0 AND c.k > 0)),
+fet AS (SELECT url FROM canon WHERE url NOT LIKE '%/private/%'),
+l0(url) AS (VALUES ('http://host0.example.com/page/1')),
+l1 AS (SELECT DISTINCT e.dst AS url FROM edges e
+       WHERE e.src IN (SELECT url FROM l0 WHERE url IN (SELECT url FROM fet))
+         AND e.dst NOT IN (SELECT url FROM l0)),
+l2 AS (SELECT DISTINCT e.dst AS url FROM edges e
+       WHERE e.src IN (SELECT url FROM l1 WHERE url IN (SELECT url FROM fet))
+         AND e.dst NOT IN (SELECT url FROM l0 UNION SELECT url FROM l1)),
+l3 AS (SELECT DISTINCT e.dst AS url FROM edges e
+       WHERE e.src IN (SELECT url FROM l2 WHERE url IN (SELECT url FROM fet))
+         AND e.dst NOT IN (SELECT url FROM l0 UNION SELECT url FROM l1
+                           UNION SELECT url FROM l2)),
+lv AS (SELECT url, 0 AS depth FROM l0 UNION ALL SELECT url, 1 FROM l1
+       UNION ALL SELECT url, 2 FROM l2 UNION ALL SELECT url, 3 FROM l3)"""
+
+  private lazy val c1FrontierSql: String = c1BfsCte + """
+SELECT 'p1' AS project, lv.url,
+  CAST(CASE WHEN depth = 3 THEN 1
+            WHEN lv.url IN (SELECT url FROM fet) THEN 2 ELSE 1 END AS INT) AS status,
+  CAST(CASE WHEN depth <= 2 AND lv.url NOT IN (SELECT url FROM fet)
+            THEN 1 ELSE 0 END AS INT) AS retried
+FROM lv ORDER BY lv.url"""
 
   def oracleSql: Map[String, String] = {
     val urlsCte =
@@ -1138,72 +1247,20 @@ SELECT a_id, b_id, jaccard FROM fin WHERE jaccard >= 0.4 ORDER BY a_id, b_id"""
       // backs off 30 s — beyond the 3-tick window, so at most one attempt
       // per task). Reference semantics: scheduler.py:234-308 on_request +
       // processor.py:110-189 follows.
-      "c1_crawl_frontier" -> {
-        // z0 = seed(42) XOR (h<<40) XOR (k<<8) XOR i — disjoint bit ranges
-        // except i overlapping 42's low bits, so XOR folds to arithmetic
-        s"""WITH hs(h) AS (VALUES (0),(1),(2)),
-pg AS (SELECT h, CAST(r.range AS INT) AS k FROM hs, range(20) r
-       WHERE r.range < CASE WHEN h = 0 THEN 20 ELSE 10 END),
-ii(i) AS (VALUES (0),(1),(2)),
-fanin AS (SELECT h, k, i,
-  (CAST(CASE i WHEN 0 THEN 42 WHEN 1 THEN 43 ELSE 40 END AS HUGEINT)
-   + CAST(k AS HUGEINT) * 256
-   + CAST(h AS HUGEINT) * CAST('1099511627776' AS HUGEINT)) AS z0
-  FROM pg, ii),
-${mix64Cte("fanin", "z0", "h, k, i")},
-fantgt AS (SELECT h, k,
-  CAST((((CASE WHEN mixed >= $S63 THEN mixed - $M64 ELSE mixed END)
-         % CASE WHEN h = 0 THEN 20 ELSE 10 END)
-        + CASE WHEN h = 0 THEN 20 ELSE 10 END)
-       % CASE WHEN h = 0 THEN 20 ELSE 10 END AS INT) AS t
-  FROM mixOut),
-canon AS (SELECT h, k,
-  'http://host' || CAST(h AS VARCHAR) || '.example.com' AS b,
-  CASE WHEN h = 0 THEN 20 ELSE 10 END AS np,
-  'http://host' || CAST(h AS VARCHAR) || '.example.com' ||
-    CASE WHEN k % 13 = 0 AND k > 0 THEN '/private/page/' ELSE '/page/' END ||
-    CAST(k AS VARCHAR) AS url
-  FROM pg),
-edges AS (
-  SELECT c.url AS src, c.b || '/page/' || CAST((c.k + 1) % c.np AS VARCHAR) AS dst
-    FROM canon c WHERE c.k % 17 = 0 AND c.k > 0
-  UNION ALL
-  SELECT c.url, c.b || '/page/' || CAST(f.t AS VARCHAR)
-    FROM canon c JOIN fantgt f ON c.h = f.h AND c.k = f.k
-    WHERE NOT (c.k % 17 = 0 AND c.k > 0)
-  UNION ALL
-  SELECT c.url, c.b || '/private/page/' || CAST(c.k + 13 - (c.k % 13) AS VARCHAR)
-    FROM canon c WHERE c.k % 5 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
-  UNION ALL
-  SELECT c.url, c.b || '/submit'
-    FROM canon c WHERE c.k % 7 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
-  UNION ALL
-  SELECT c.url, c.b || '/old/page' || CAST(c.k AS VARCHAR) || '.php?ref=c'
-    FROM canon c WHERE c.k % 11 = 0 AND NOT (c.k % 17 = 0 AND c.k > 0)
-  UNION ALL
-  SELECT c.url, c.b || '/assets/img' || CAST(c.k AS VARCHAR) || '.png'
-    FROM canon c WHERE NOT (c.k % 17 = 0 AND c.k > 0)),
-fet AS (SELECT url FROM canon WHERE url NOT LIKE '%/private/%'),
-l0(url) AS (VALUES ('http://host0.example.com/page/1')),
-l1 AS (SELECT DISTINCT e.dst AS url FROM edges e
-       WHERE e.src IN (SELECT url FROM l0 WHERE url IN (SELECT url FROM fet))
-         AND e.dst NOT IN (SELECT url FROM l0)),
-l2 AS (SELECT DISTINCT e.dst AS url FROM edges e
-       WHERE e.src IN (SELECT url FROM l1 WHERE url IN (SELECT url FROM fet))
-         AND e.dst NOT IN (SELECT url FROM l0 UNION SELECT url FROM l1)),
-l3 AS (SELECT DISTINCT e.dst AS url FROM edges e
-       WHERE e.src IN (SELECT url FROM l2 WHERE url IN (SELECT url FROM fet))
-         AND e.dst NOT IN (SELECT url FROM l0 UNION SELECT url FROM l1
-                           UNION SELECT url FROM l2)),
-lv AS (SELECT url, 0 AS depth FROM l0 UNION ALL SELECT url, 1 FROM l1
-       UNION ALL SELECT url, 2 FROM l2 UNION ALL SELECT url, 3 FROM l3)
-SELECT 'p1' AS project, lv.url,
-  CAST(CASE WHEN depth = 3 THEN 1
-            WHEN lv.url IN (SELECT url FROM fet) THEN 2 ELSE 1 END AS INT) AS status,
-  CAST(CASE WHEN depth <= 2 AND lv.url NOT IN (SELECT url FROM fet)
-            THEN 1 ELSE 0 END AS INT) AS retried
-FROM lv ORDER BY lv.url"""
-      },
+      "c1_crawl_frontier" -> c1FrontierSql,
+      // c3: the SAME crawl run through the persisted FrontierStore — the
+      // copy-on-write snapshot commits, the bucketed bloom seen-index (J1's
+      // partition-local probe + pruned exact check), and the resume read
+      // all sit between the seeds and this output, which must still equal
+      // the closed-form BFS exactly (CrawlSpec proves store==exact; this
+      // puts that equality under the driver's independent gate)
+      "c3_crawl_store" -> c1FrontierSql,
+      // c4: the crawl's RESULT SINK (S6/F8/P8) — a result row exists for
+      // exactly the successfully-fetched pages (depth<=2, fetchable), with
+      // the task's original url and method
+      "c4_crawl_results" -> (c1BfsCte + """
+SELECT 'p1' AS project, lv.url, 'link' AS type
+FROM lv WHERE depth <= 2 AND lv.url IN (SELECT url FROM fet) ORDER BY lv.url"""),
       // c2: conditional fetch — closed-form: every task fetches OK (status
       // 2) and refreshes its stored etag to the page's; only MISMATCHED
       // tasks (odd i) re-extract and emit a result
