@@ -343,6 +343,27 @@ object SparkEntry {
         .selectExpr("doc_id", "f.url as url", "f.text as text")
         .orderBy("doc_id", "url")
     }),
+    "x11_header_charset" -> ((s, dir) => {
+      // X11: Content-Type header charset — undeclared GB18030 bytes decoded
+      // via 'charset=gb2312' (promotion), quoted 'charset="iso-8859-1"'
+      // (quote strip), and header PRIORITY over a conflicting meta (the
+      // utf-8 page read as latin-1 yields deterministic mojibake the oracle
+      // states verbatim)
+      val gbB = SparkEntry.X11Gb.getBytes(java.nio.charset.Charset.forName("GB18030"))
+      val l1B = SparkEntry.X11L1.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val u8B = SparkEntry.X6bU8.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("raw",
+          when(expr("doc_id % 3") === 1, lit(gbB))
+            .when(expr("doc_id % 3") === 2, lit(l1B))
+            .otherwise(lit(u8B)))
+        .withColumn("ct",
+          when(expr("doc_id % 3") === 1, lit("text/html; charset=gb2312"))
+            .when(expr("doc_id % 3") === 2, lit("text/html; charset=\"iso-8859-1\""))
+            .otherwise(lit("text/html; charset=iso-8859-1")))
+        .selectExpr("doc_id", "extract_text_ct(raw, ct) as txt")
+        .orderBy("doc_id")
+    }),
     "x3_quote_chinese" -> ((s, dir) =>
       // X3/X4: canonicalization matrix over fixed messy inputs — non-ASCII
       // percent-encoding (quote_chinese: UTF-8 bytes >= 0x80 -> %XX),
@@ -730,6 +751,11 @@ object SparkEntry {
     "<html><head><meta charset=iso-8859-1></head><body>café naïve déjà vu, À bientôt ÿ</body></html>"
   private[graft] val X6bU8 =
     "<html><head><meta charset=utf-8></head><body>plain utf-8 päge</body></html>"
+  // X11 fixtures: NO in-document declaration — the charset arrives only via
+  // the Content-Type header (header beats meta, quotes stripped,
+  // gb2312 -> gb18030 promotion; response.py:215-218)
+  private[graft] val X11Gb = "<html><body>无声明中文内容页面</body></html>"
+  private[graft] val X11L1 = "<html><body>sans declaration: café</body></html>"
 
   // ---- DuckDB-side 64-bit modular arithmetic helpers (HUGEINT = signed
   // int128): the custom hash functions (FNV-1a, splitmix64) are reproduced
@@ -947,6 +973,17 @@ SELECT doc_id, u, t FROM documents, (VALUES
   ('http://other.com/hidden?a=1', '__comments')) v(u, t)
 WHERE doc_id % 2 = 1
 ORDER BY doc_id, url""",
+      // x11: header-charset decode matrix; the header-beats-meta case reads
+      // the utf-8 page as latin-1 — each UTF-8 continuation byte becomes
+      // its own latin-1 char, a fixed string stated verbatim
+      "x11_header_charset" -> {
+        val mojibake = new String(
+          X6bU8.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        s"""SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+ WHEN 1 THEN '$X11Gb' WHEN 2 THEN '$X11L1' ELSE '$mojibake' END AS txt
+FROM documents ORDER BY doc_id"""
+      },
       // 展=E5B195 示=E7A4BA 搜=E690 9C 索=E7B4A2 (UTF-8); space -> %20
       "x3_quote_chinese" ->
         """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
