@@ -254,6 +254,33 @@ object SparkEntry {
           "extract_text(encode(concat('<p>', text, '</p>'), 'utf-8')) as txt")
         .orderBy("doc_id")
     }),
+    "p3_ajax_follows" -> ((s, dir) => {
+      // P3 (processor half, processor.py:120-140): ajax requests captured
+      // with the page become follow tasks with their method/data; the
+      // cross-domain ajax item is dropped by the same-domain rule. 20 pages,
+      // each carrying one same-domain POST ajax and one cross-domain GET.
+      Udfs.register(s)
+      import s.implicits._
+      val html = "<html><body>x</body></html>".getBytes("UTF-8")
+      val pages = (0 until 20).map(i => (s"http://h0.test/p/$i",
+          new java.sql.Timestamp(0L), html, "", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+        .selectExpr("url", "warc_ts", "html", "text", "lang",
+          """array(
+               named_struct('url', concat('http://h0.test/api/', regexp_extract(url, '/p/([0-9]+)$', 1)),
+                            'method', 'post',
+                            'data', concat('q=', regexp_extract(url, '/p/([0-9]+)$', 1))),
+               named_struct('url', concat('http://other.test/x/', regexp_extract(url, '/p/([0-9]+)$', 1)),
+                            'method', 'get', 'data', '')) as ajax""")
+      val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      val frontier = Crawler.seedFrontierDf(s,
+        (0 until 20).map(i => ("p1", s"http://h0.test/p/$i")).toDF("project", "raw_url"), 0.0)
+      val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
+        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false))
+      r.frontier.selectExpr("url", "status", "method", "data").orderBy("url")
+    }),
+
     "f5_merge_matrix" -> ((s, dir) => {
       // F5/F6 on_request restart semantics (scheduler.py:234-308) as a
       // closed-form matrix over event ids: stored itag v(id%3) vs incoming
@@ -925,6 +952,16 @@ FROM lv ORDER BY lv.url"""
         "SELECT doc_id, '<p>' || text || '</p>' AS txt FROM documents ORDER BY doc_id",
       "x6b_charset_matrix" ->
         s"""SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN '$X6bGb' WHEN 2 THEN '$X6bL1' ELSE '$X6bU8' END AS txt FROM documents ORDER BY doc_id""",
+      // p3: the same-domain POST ajax of every page becomes an ACTIVE task
+      // carrying its method/data; the cross-domain one is dropped; the 20
+      // fetched pages finish SUCCESS
+      "p3_ajax_follows" ->
+        """WITH ids AS (SELECT unnest(range(0, 20)) AS i)
+SELECT 'http://h0.test/api/' || CAST(i AS VARCHAR) AS url, CAST(1 AS INT) AS status,
+  'post' AS method, 'q=' || CAST(i AS VARCHAR) AS data FROM ids
+UNION ALL
+SELECT 'http://h0.test/p/' || CAST(i AS VARCHAR), CAST(2 AS INT), 'link', '' FROM ids
+ORDER BY url""",
       // f5: restart matrix — the same predicate recomputed as arithmetic:
       // restart = itag change (id%3 vs id%2) OR age expiry (id%4==0) OR
       // force_update (id%7==0); restart+cancel (id%11==0) -> BAD(4)

@@ -101,8 +101,17 @@ object Superstep {
     // conditional-fetch headers: a pages table MAY carry the capture's
     // ETag / Last-Modified (Common-Crawl metadata); absent, both are null
     // and the 304 path never fires
-    val base = Seq("etag", "last_modified").foldLeft(base0)((d, c) =>
+    val base1 = Seq("etag", "last_modified").foldLeft(base0)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
+    // P3 (processor half): a pages table MAY carry ajax requests observed
+    // at capture time (the reference's phantomjs hook records them in
+    // details.ajax; processor.py:120-140 turns them into follow tasks).
+    // The browser-side interception is out of scope — the capture metadata
+    // path is real.
+    val base =
+      if (base1.columns.contains("ajax")) base1
+      else base1.withColumn("ajax",
+        lit(null).cast("array<struct<url:string,method:string,data:string>>"))
     val canon = expr("canonicalize_url(url)")
     val withKeys = base
       .withColumn("curl", canon)
@@ -117,15 +126,16 @@ object Superstep {
       .filter(expr("parse_url(curl, 'PATH')") =!= "/robots.txt")
       .groupBy(col("page_hash"))
       .agg(min_by(struct(col("curl"), col("html"), col("http_status"), col("location"),
-          col("etag"), col("last_modified")),
+          col("etag"), col("last_modified"), col("ajax")),
         xxhash64(col("html"))).as("m"))
       .select(col("page_hash"), col("m.curl").as("page_url"), col("m.html").as("html"),
         col("m.http_status").as("http_status"), col("m.location").as("location"),
-        col("m.etag").as("page_etag"), col("m.last_modified").as("page_lm"))
+        col("m.etag").as("page_etag"), col("m.last_modified").as("page_lm"),
+        col("m.ajax").as("page_ajax"))
     val resolved =
       if (hasRedirects) resolveRedirects(content)
       else content.select(col("page_hash"), col("page_url"), col("html"),
-          col("page_etag"), col("page_lm"))
+          col("page_etag"), col("page_lm"), col("page_ajax"))
         .withColumn("redirect_hops", lit(0))
     // hash-partition the index ONCE on the fetch-join key: the persisted
     // layout (HashPartitioning(page_hash)) is reused by every superstep's
@@ -162,10 +172,11 @@ object Superstep {
     val targets = withLoc.select(
       col("page_hash").as("t_hash"), col("page_url").as("t_url"),
       col("html").as("t_html"), isRedir.as("t_redir"), col("loc_hash").as("t_loc"),
-      col("page_etag").as("t_etag"), col("page_lm").as("t_lm"))
+      col("page_etag").as("t_etag"), col("page_lm").as("t_lm"),
+      col("page_ajax").as("t_ajax"))
     val terminal = withLoc.where(!isRedir)
       .select(col("page_hash"), col("page_url"), col("html"),
-        col("page_etag"), col("page_lm"))
+        col("page_etag"), col("page_lm"), col("page_ajax"))
       .withColumn("redirect_hops", lit(0))
 
     var pending = withLoc.where(isRedir)
@@ -176,7 +187,8 @@ object Superstep {
       val landed = j.where(!coalesce(col("t_redir"), lit(false)))
         .select(col("page_hash"), col("t_url").as("page_url"),
           col("t_html").as("html"), col("t_etag").as("page_etag"),
-          col("t_lm").as("page_lm"), col("hops").as("redirect_hops"))
+          col("t_lm").as("page_lm"), col("t_ajax").as("page_ajax"),
+          col("hops").as("redirect_hops"))
       done = done.unionByName(landed)
       pending = j.where(coalesce(col("t_redir"), lit(false)))
         .select(col("page_hash"), col("t_loc").as("next_hash"), (col("hops") + 1).as("hops"))
@@ -186,7 +198,9 @@ object Superstep {
       lit(null).cast("string").as("page_url"),
       lit(null).cast("binary").as("html"),
       lit(null).cast("string").as("page_etag"),
-      lit(null).cast("string").as("page_lm"), col("hops").as("redirect_hops"))
+      lit(null).cast("string").as("page_lm"),
+      lit(null).cast("array<struct<url:string,method:string,data:string>>").as("page_ajax"),
+      col("hops").as("redirect_hops"))
     done.unionByName(exceeded)
   }
 
@@ -413,7 +427,18 @@ object Superstep {
             explode(expr("extract_follows(page_text, final_url)")).as("f"))
           .select($"project", $"parent_url", $"parent_host",
             $"f.url".as("raw_url"), $"f.method".as("method"), $"f.data".as("data"))
-    val follows = follows0
+    // P3 (processor half): ajax requests captured alongside the page become
+    // follow candidates exactly like links (processor.py:120-140 builds
+    // tasks from details.ajax with method/data); F7 same-domain and the
+    // in-batch merge apply downstream like any follow
+    val ajaxFollows = fetched
+      .where($"fetch_ok" && !$"not_modified" && $"page_ajax".isNotNull)
+      .select($"project", $"url".as("parent_url"), $"host".as("parent_host"),
+        explode($"page_ajax").as("a"))
+      .select($"project", $"parent_url", $"parent_host",
+        $"a.url".as("raw_url"), coalesce($"a.method", lit("get")).as("method"),
+        coalesce($"a.data", lit("")).as("data"))
+    val follows = follows0.unionByName(ajaxFollows)
       .withColumn("curl", expr("canonicalize_url(raw_url)"))
       .withColumn("fhost", expr("url_host(curl)"))
       .where($"fhost" === $"parent_host") // F7 same-domain
