@@ -97,6 +97,14 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST.json write failed: $e") }
     System.out.flush(); System.err.flush()
     println(json)
+    // compact headline (≤500 chars) as the FINAL stdout line: the full line
+    // above is ~3.4 KB and a short tail window can truncate it mid-JSON
+    // (observed rounds 1-3); this one always fits whole in any tail capture.
+    def g(src: String, key: String): String =
+      ("\"" + key + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(src).map(_.group(1)).getOrElse("null")
+    val headline =
+      f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","sf":"$sfDirState","n_queries":${queriesJson.count(_ == ':')},"crawl":{"urls_per_sec":${g(crawlJson, "urls_per_sec")},"store_urls_per_sec":${g(crawlJson, "store_urls_per_sec")},"calib_spin_per_sec":${g(crawlJson, "calib_spin_per_sec")},"calib_maponly_per_sec":${g(crawlJson, "calib_maponly_per_sec")}},"scaling":{"efficiency_8_to_32":${g(scalingJson, "efficiency_8_to_32")},"efficiency_vs_maponly":${g(scalingJson, "efficiency_vs_maponly")},"efficiency_hw_ceiling":${g(scalingJson, "efficiency_hw_ceiling")},"urls_per_sec_local32":${g(scalingJson, "urls_per_sec_local32")}},"full":"BENCH_LAST.json"}"""
+    println(headline)
     System.out.flush()
   }
 

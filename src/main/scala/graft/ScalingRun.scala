@@ -98,8 +98,15 @@ object ScalingRun {
       val t0 = System.nanoTime()
       run1()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are posted async; give the bus a beat to drain
-      Thread.sleep(200)
+      // listener events are posted async — drain the bus deterministically
+      // before reading the SHW/SHR deltas (a fixed sleep under-counts on a
+      // loaded VM and bleeds late events into the next rep). waitUntilEmpty
+      // is private[spark] source-side but public bytecode, hence reflection.
+      try {
+        val bus = s.sparkContext.getClass.getMethod("listenerBus").invoke(s.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, java.lang.Long.valueOf(5000L))
+      } catch { case _: Throwable => Thread.sleep(200) }
       (sec, shW.get - w0, shR.get - r0)
     }
     val (best, bw, br) = measured.minBy(_._1)

@@ -739,23 +739,36 @@ object SparkEntry {
     }),
 
     "c2_conditional_fetch" -> ((s, dir) => {
-      // conditional fetch (tornado_fetcher.py:257-276): tasks carrying a
-      // stored ETag that matches the page's current ETag take the 304 path
-      // (success, but no result row); mismatches full-fetch and refresh the
-      // stored header. 30 tasks, even ids match, odd ids don't.
+      // conditional fetch (tornado_fetcher.py:257-276) with RFC 7232
+      // validator precedence: when both sides carry an ETag, If-None-Match
+      // alone decides (a mismatch full-fetches even if Last-Modified still
+      // matches); Last-Modified is consulted only when an ETag is absent on
+      // either side. 40 tasks in 4 classes (k = i % 4):
+      //   k=0 etag match, no lm            -> 304, no result
+      //   k=1 etag MISMATCH but lm match   -> full fetch (precedence!)
+      //   k=2 no etags, lm match           -> 304 via lm, no result
+      //   k=3 task has no etag, lm mismatch-> full fetch
+      // All refresh stored headers to the page's on success.
       Udfs.register(s)
       import s.implicits._
       val html = "<html><body>x</body></html>".getBytes("UTF-8")
       val ts = new java.sql.Timestamp(0L)
-      val pages = (0 until 30).map(i =>
-          (s"http://h0.test/p/$i", ts, html, "", "en", s"e${i % 5}", null: String))
-        .toDF("url", "warc_ts", "html", "text", "lang", "etag", "last_modified")
+      val pages = (0 until 40).map { i =>
+          val k = i % 4
+          (s"http://h0.test/p/$i", ts, html, "", "en",
+            if (k == 2) null else s"e${i % 5}",
+            if (k == 0) null else "lm0")
+        }.toDF("url", "warc_ts", "html", "text", "lang", "etag", "last_modified")
       val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
       val frontier = Crawler.seedFrontierDf(s,
-          (0 until 30).map(i => ("p1", s"http://h0.test/p/$i")).toDF("project", "raw_url"), 0.0)
+          (0 until 40).map(i => ("p1", s"http://h0.test/p/$i")).toDF("project", "raw_url"), 0.0)
         .withColumn("i", regexp_extract($"url", "/p/([0-9]+)$", 1).cast("int"))
         .withColumn("etag",
-          when($"i" % 2 === 0, concat(lit("e"), ($"i" % 5).cast("string"))).otherwise(lit("ex")))
+          when($"i" % 4 === 0, concat(lit("e"), ($"i" % 5).cast("string")))
+            .when($"i" % 4 === 1, lit("ex")))
+        .withColumn("last_modified",
+          when($"i" % 4 === 1 || $"i" % 4 === 2, lit("lm0"))
+            .when($"i" % 4 === 3, lit("lmx")))
         .drop("i")
       val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
       val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
@@ -763,7 +776,8 @@ object SparkEntry {
       r.upserts.join(
           r.newResults.select($"project", $"url_hash").withColumn("got_result", lit(true)),
           Seq("project", "url_hash"), "left_outer")
-        .select($"url", $"status", $"etag", coalesce($"got_result", lit(false)).as("got_result"))
+        .select($"url", $"status", $"etag", $"last_modified",
+          coalesce($"got_result", lit(false)).as("got_result"))
         .orderBy("url")
     })
   )
@@ -1336,14 +1350,16 @@ SELECT a_id, b_id, jaccard FROM fin WHERE jaccard >= 0.4 ORDER BY a_id, b_id"""
 SELECT 'p1' AS project, lv.url, 'link' AS type
 FROM lv WHERE depth <= 2 AND lv.url IN (SELECT url FROM fet) ORDER BY lv.url"""),
       // c2: conditional fetch — closed-form: every task fetches OK (status
-      // 2) and refreshes its stored etag to the page's; only MISMATCHED
-      // tasks (odd i) re-extract and emit a result
+      // 2) and refreshes its stored headers to the page's; RFC 7232
+      // precedence means only k∈{1,3} (etag-mismatch-overrides-lm and
+      // lm-mismatch-no-etag) re-extract and emit a result
       "c2_conditional_fetch" ->
         """SELECT 'http://h0.test/p/' || CAST(i AS VARCHAR) AS url,
  CAST(2 AS INT) AS status,
- 'e' || CAST(i % 5 AS VARCHAR) AS etag,
- (i % 2 = 1) AS got_result
-FROM (SELECT unnest(range(0, 30)) AS i) ORDER BY url"""
+ CASE WHEN i % 4 = 2 THEN NULL ELSE 'e' || CAST(i % 5 AS VARCHAR) END AS etag,
+ CASE WHEN i % 4 = 0 THEN NULL ELSE 'lm0' END AS last_modified,
+ (i % 4 IN (1, 3)) AS got_result
+FROM (SELECT unnest(range(0, 40)) AS i) ORDER BY url"""
     )
   }
 }

@@ -474,15 +474,20 @@ object FrontierStore {
   def foldCounterRow(acc: Map[String, Map[String, Long]],
       row: org.apache.spark.sql.Row): Map[String, Map[String, Long]] = {
     val p = row.getAs[String]("project")
-    val stepVals = row.schema.fields.collect {
+    acc.updated(p, foldCounterRowOne(acc.getOrElse(p, Map.empty[String, Long]), row))
+  }
+
+  /** Single-project fold: this row's Long fields into that project's running
+    * entry only — the per-row form Crawler uses so updating one project is
+    * O(fields), not an O(projects) snapshot of the whole accumulator. */
+  def foldCounterRowOne(prevForProject: Map[String, Long],
+      row: org.apache.spark.sql.Row): Map[String, Long] =
+    row.schema.fields.collect {
       case f if f.name != "project" && row.getAs[Any](f.name).isInstanceOf[Long] =>
         f.name -> row.getAs[Long](f.name)
-    }
-    val merged = stepVals.foldLeft(acc.getOrElse(p, Map.empty[String, Long])) {
+    }.foldLeft(prevForProject) {
       case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v)
     }
-    acc.updated(p, merged)
-  }
 
   /** Minimal JSON string escaping (quote, backslash, control chars). */
   def jsonStr(s: String): String = {

@@ -209,7 +209,7 @@ object Crawler {
           (row.getAs[Long]("done_success") + row.getAs[Long]("failed_now"))
         activeByProject(p) = after
         if (before > 0 && after == 0) finished += p
-        totals(p) = FrontierStore.foldCounterRow(totals.toMap, row)(p)
+        totals(p) = FrontierStore.foldCounterRowOne(totals.getOrElse(p, Map.empty), row)
       }
       r.unpersistAll()
       // terminate only when no ACTIVE task remains anywhere — scheduled==0

@@ -398,13 +398,18 @@ object Superstep {
       // stored track headers matching the page's current headers is the
       // 304 path — the fetch succeeds but the content is known-unchanged,
       // so decode/extraction/result-sink are all skipped for the row.
-      // BOTH sides must be non-null before comparing: `stored === NULL` is
-      // SQL-NULL, and a NULL not_modified would silently drop a successful
-      // fetch from extraction AND results (three-valued-logic trap)
+      // RFC 7232 precedence: when BOTH sides carry an ETag, If-None-Match
+      // alone decides — an ETag mismatch means a full 200 even if
+      // Last-Modified still matches (changed content must re-process);
+      // Last-Modified is consulted only when at least one side lacks an
+      // ETag. BOTH sides must be non-null before comparing: `stored ===
+      // NULL` is SQL-NULL, and a NULL not_modified would silently drop a
+      // successful fetch from extraction AND results (three-valued-logic
+      // trap)
       .withColumn("not_modified", coalesce($"fetch_ok" &&
-        (($"etag".isNotNull && $"page_etag".isNotNull && $"etag" === $"page_etag") ||
-          ($"last_modified".isNotNull && $"page_lm".isNotNull &&
-            $"last_modified" === $"page_lm")), lit(false)))
+        when($"etag".isNotNull && $"page_etag".isNotNull, $"etag" === $"page_etag")
+          .otherwise($"last_modified".isNotNull && $"page_lm".isNotNull &&
+            $"last_modified" === $"page_lm"), lit(false)))
       .withColumn("page_text",
         when($"fetch_ok" && !$"not_modified", expr("extract_text(html)")))
       .drop("robots_txt", "html")

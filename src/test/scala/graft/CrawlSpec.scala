@@ -503,6 +503,47 @@ class CrawlSpec extends AnyFunSuite {
     r4.unpersistAll()
   }
 
+  test("conditional fetch: RFC 7232 precedence — ETag mismatch full-fetches even when Last-Modified matches; ETag match 304s over an lm mismatch") {
+    val html = """<html><body>x</body></html>""".getBytes("UTF-8")
+    def pagesWith(tag: String, lm: String) = Seq(
+      ("http://h0.test/start", new java.sql.Timestamp(0L), html, "", "en", tag, lm))
+      .toDF("url", "warc_ts", "html", "text", "lang", "etag", "last_modified")
+    val projects = projectsDf(1000.0, 1000.0)
+    def frontierWith(tag: String, lm: String) = mkFrontier(Seq(("start", 0L, 0, 0.0)))
+      .withColumn("url", lit("http://h0.test/start"))
+      .withColumn("url_hash", expr("xxhash64(url)"))
+      .withColumn("etag", lit(tag)).withColumn("last_modified", lit(lm))
+    val cfg = Superstep.Config(respectRobots = false)
+
+    // content changed (etag v1 -> v2) but the server kept Last-Modified:
+    // If-None-Match has precedence, so this MUST be a full 200 — with the
+    // OR rule the lm match would 304 forever and the change is never seen
+    val (idxA, rbA) = Superstep.preparePages(spark, pagesWith("v2", "L"))
+    val rA = Superstep.run(spark, frontierWith("v1", "L"), Crawler.emptyBudgets(spark),
+      idxA, rbA, projects, now0 + 1, cfg)
+    assert(rA.newResults.count() == 1, "etag mismatch + lm match must full-fetch")
+    assert(rA.counterRows.find(_.getAs[String]("project") == "p1").get
+      .getAs[Long]("not_modified") == 0)
+    rA.unpersistAll()
+
+    // both etags present and EQUAL: 304 even though lm differs (the etag
+    // validator alone decides when both sides carry one)
+    val (idxB, rbB) = Superstep.preparePages(spark, pagesWith("v1", "L2"))
+    val rB = Superstep.run(spark, frontierWith("v1", "L1"), Crawler.emptyBudgets(spark),
+      idxB, rbB, projects, now0 + 1, cfg)
+    assert(rB.newResults.count() == 0, "etag match must 304 regardless of lm")
+    assert(rB.counterRows.find(_.getAs[String]("project") == "p1").get
+      .getAs[Long]("not_modified") == 1)
+    rB.unpersistAll()
+
+    // etag absent on the page side -> fall back to lm: match is a 304
+    val (idxC, rbC) = Superstep.preparePages(spark, pagesWith(null, "L"))
+    val rC = Superstep.run(spark, frontierWith("v1", "L"), Crawler.emptyBudgets(spark),
+      idxC, rbC, projects, now0 + 1, cfg)
+    assert(rC.newResults.count() == 0, "no page etag + lm match must 304")
+    rC.unpersistAll()
+  }
+
   test("W7 retry ladder: missing page retries then fails; backoff times are exact") {
     val frontier = mkFrontier(Seq(("gone", 99L, 0, 0.0)))
     val (pagesIdx, robots) = emptyPages
