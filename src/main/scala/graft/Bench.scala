@@ -218,8 +218,8 @@ object Bench {
     // FRESH forked JVM (shared-heap/JIT state otherwise biases whichever
     // level runs second — observed ±30% swings in-process)
     if (doScaling && sections("scaling")) try {
-      // shuffle bytes of the most recent forked run carrying SHW/SHR markers
-      var lastShW = -1L; var lastShR = -1L
+      // shuffle bytes + per-stage table of the most recent forked run
+      var lastShW = -1L; var lastShR = -1L; var lastStages = "null"
       def runForked(p: Int, job: String = "full"): Double = {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val opens = Seq(
@@ -253,6 +253,8 @@ object Bench {
             lastShW = mm.group(2).toLong; lastShR = mm.group(3).toLong
           }
         }
+        lastStages = "(?m)^STAGES (\\[.*\\])$".r.findFirstMatchIn(out.toString)
+          .map(_.group(1)).getOrElse("null")
         m.map(_.group(1).toDouble)
           .getOrElse { System.err.println(s"[bench] scaling at $p failed:\n$out"); -1.0 }
       }
@@ -262,16 +264,18 @@ object Bench {
       val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
       var r8 = -1.0; var r32 = -1.0
       var shW = -1L; var shR = -1L
+      var st8 = "null"; var st32 = "null"
       (1 to rounds).foreach { _ =>
         val a = runForked(8)
-        if (a > r8) { r8 = a; if (lastShW >= 0) { shW = lastShW; shR = lastShR } }
+        if (a > r8) { r8 = a; st8 = lastStages
+          if (lastShW >= 0) { shW = lastShW; shR = lastShR } }
         val b = runForked(32)
-        r32 = math.max(r32, b)
+        if (b > r32) { r32 = b; st32 = lastStages }
       }
       if (r8 > 0 && r32 > 0) {
         val eff = (r32 / r8) / 4.0
         val bytesRow = if (shW >= 0) f""","shuffle_write_bytes":$shW,"shuffle_read_bytes":$shR,"shuffle_write_bytes_per_row":${shW.toDouble / scaleN}%.1f""" else ""
-        scalingJson = f"""{"job":"schedule_dedup","n_urls":$scaleN,"urls_per_sec_local8":${r8}%.0f,"urls_per_sec_local32":${r32}%.0f,"efficiency_8_to_32":${eff}%.3f$bytesRow}"""
+        scalingJson = f"""{"job":"schedule_dedup","n_urls":$scaleN,"urls_per_sec_local8":${r8}%.0f,"urls_per_sec_local32":${r32}%.0f,"efficiency_8_to_32":${eff}%.3f$bytesRow,"stages_8":$st8,"stages_32":$st32}"""
         // decomposition tiers: is the sub-4x residue ours or the VM's?
         // maponly = same map work, zero shuffles; spin = pure-register
         // threads (the VM's hard 8->32 CPU-delivery ceiling)

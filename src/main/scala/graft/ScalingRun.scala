@@ -59,30 +59,36 @@ object ScalingRun {
     val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val s = Udfs.newSession(s"local[$p]", p * mult, s"graft-scaling-$p")
     s.sparkContext.setLogLevel("ERROR")
-    // shuffle-byte evidence rides along with every rate: the sub-4x scaling
-    // residue claim ("single-box memory bandwidth") needs bytes in the
-    // artifact, not prose
+    // per-stage record: the "which stage stopped scaling" evidence the
+    // artifact carries at BOTH parallelism levels (wall/cpu/run/gc/shuffle
+    // per stage of the best rep), plus the aggregate SHW/SHR totals
+    final case class StageRec(id: Int, wallMs: Long, cpuMs: Long, runMs: Long,
+      gcMs: Long, shW: Long, shR: Long, spill: Long, tasks: Int) {
+      def json: String =
+        s"""{"id":$id,"wall_ms":$wallMs,"cpu_ms":$cpuMs,"run_ms":$runMs,"gc_ms":$gcMs,""" +
+          s""""shuffle_write":$shW,"shuffle_read":$shR,"spill":$spill,"tasks":$tasks}"""
+    }
+    val stages = new scala.collection.mutable.ArrayBuffer[StageRec]
     val shW = new java.util.concurrent.atomic.AtomicLong
     val shR = new java.util.concurrent.atomic.AtomicLong
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        shW.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        shR.addAndGet(e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        shW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        val rec = StageRec(si.stageId,
+          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          m.executorCpuTime / 1000000, m.executorRunTime, m.jvmGCTime,
+          m.shuffleWriteMetrics.bytesWritten, m.shuffleReadMetrics.totalBytesRead,
+          m.diskBytesSpilled, si.numTasks)
+        stages.synchronized(stages += rec)
+        if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
+          System.err.println(f"STAGE ${rec.id}%3d wall=${rec.wallMs}ms tasks=${rec.tasks} " +
+            f"cpu=${rec.cpuMs}ms run=${rec.runMs}ms gc=${rec.gcMs}ms " +
+            f"shW=${rec.shW / 1048576}MB shR=${rec.shR / 1048576}MB spill=${rec.spill / 1048576}MB")
       }
     })
-    if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG")) {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val si = e.stageInfo
-          val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-          val m = si.taskMetrics
-          System.err.println(f"STAGE ${si.stageId}%3d ${si.name.take(40)}%-40s wall=${ms}ms " +
-            f"tasks=${si.numTasks} cpu=${m.executorCpuTime / 1000000}ms run=${m.executorRunTime}ms " +
-            f"gc=${m.jvmGCTime}ms shW=${m.shuffleWriteMetrics.bytesWritten / 1048576}MB " +
-            f"shR=${m.shuffleReadMetrics.totalBytesRead / 1048576}MB spill=${m.diskBytesSpilled / 1048576}MB")
-        }
-      })
-    }
     def run1(): Unit = job match {
       case "maponly" => mapOnlyJob(s, n)
       case _ => Bench.scheduleDedupJob(s, n, n / 2)
@@ -95,6 +101,7 @@ object ScalingRun {
     val measured = (1 to reps).map { _ =>
       System.gc()
       val w0 = shW.get; val r0 = shR.get
+      val i0 = stages.synchronized(stages.size)
       val t0 = System.nanoTime()
       run1()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -107,9 +114,12 @@ object ScalingRun {
         bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
           .invoke(bus, java.lang.Long.valueOf(5000L))
       } catch { case _: Throwable => Thread.sleep(200) }
-      (sec, shW.get - w0, shR.get - r0)
+      (sec, shW.get - w0, shR.get - r0, stages.synchronized(stages.slice(i0, stages.size).toList))
     }
-    val (best, bw, br) = measured.minBy(_._1)
+    val (best, bw, br, bestStages) = measured.minBy(_._1)
+    // per-stage table of the best rep, one machine-readable line (Bench
+    // lifts it into scaling.stages_<p> in the round artifact)
+    println("STAGES " + bestStages.map(_.json).mkString("[", ",", "]"))
     println(f"RATE ${n / best}%.0f SHW $bw SHR $br")
     s.stop()
   }

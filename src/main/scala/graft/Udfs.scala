@@ -127,9 +127,17 @@ object Udfs {
         sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    register(spark)
-    spark
+    // free-form conf passthrough (semicolon-separated k=v) — lets bench
+    // experiments A/B a shuffle codec / memory-mode setting without a
+    // rebuild; empty by default so driver runs are untouched
+    val withExtra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(spark) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    val built = withExtra.getOrCreate()
+    built.sparkContext.setLogLevel("WARN")
+    register(built)
+    built
   }
 }

@@ -38,14 +38,18 @@ final case class SeenFilter(
   def bucketCol(project: Column, urlHash: Column): Column =
     pmod(xxhash64(project, urlHash), lit(numBuckets)).cast("int")
 
-  /** might-contain probe usable as a filter column: (bucket, skey) -> bool. */
+  /** might-contain probe usable as a filter column: (bucket, skey) -> bool.
+    * A codegen'd native expression (not a Scala UDF): the probe sits on the
+    * J1 hot path — every follow candidate of every superstep — where UDF
+    * dispatch + Int/Long boxing would be the single highest-volume per-row
+    * overhead in the crawl. */
   def probe: (Column, Column) => Column = {
     val r = root; val owners = bloomOwner
-    val f = udf((b: Int, k: Long) => {
-      val o = owners(b)
-      o != 0L && SeenFilter.load(SeenFilter.bloomPath(r, o, b)).mightContainLong(k)
-    })
-    (bucket, skey) => f(bucket, skey)
+    (bucket, skey) =>
+      org.apache.spark.sql.GraftColumnShim.column(BloomSeenProbe(
+        org.apache.spark.sql.GraftColumnShim.expression(bucket),
+        org.apache.spark.sql.GraftColumnShim.expression(skey),
+        r, owners))
   }
 
   /** Exact seen keys (project, url_hash) for the given buckets only —
@@ -112,4 +116,52 @@ object SeenFilter {
   /** test hooks */
   private[frontier] def cacheSize: Int = cache.synchronized(cache.size())
   private[frontier] def cacheBytes: Long = cache.synchronized(cachedBytes)
+
+  /** Static single-probe entry point for codegen (called from generated
+    * Java): owner-0 short-circuiting lives in the generated code. */
+  def probeOne(root: String, owner: Long, bucket: Int, key: Long): Boolean =
+    load(bloomPath(root, owner, bucket)).mightContainLong(key)
+}
+
+/**
+ * Codegen'd Bloom-probe predicate `(bucket:int, skey:long) -> boolean` over
+ * the filter's side-files — stays inside whole-stage codegen with primitive
+ * locals (the generated code indexes the owners array and calls the static
+ * [[SeenFilter.probeOne]]), replacing the boxed per-row ScalaUDF that used
+ * to sit on the J1 dedup hot path (SURVEY §2.4; verdict r03 item 2).
+ */
+case class BloomSeenProbe(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    root: String,
+    owners: Array[Long])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_seen_probe"
+
+  override protected def nullSafeEval(b: Any, k: Any): Any = {
+    val bi = b.asInstanceOf[Int]
+    val o = owners(bi)
+    o != 0L && SeenFilter.probeOne(root, o, bi, k.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ownersRef = ctx.addReferenceObj("bloomOwners", owners, "long[]")
+    val rootRef = ctx.addReferenceObj("bloomRoot", root, "java.lang.String")
+    val o = ctx.freshName("owner")
+    nullSafeCodeGen(ctx, ev, (b, k) =>
+      s"""
+         |final long $o = $ownersRef[$b];
+         |${ev.value} = $o != 0L && graft.frontier.SeenFilter.probeOne($rootRef, $o, $b, $k);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): BloomSeenProbe =
+    copy(left = newLeft, right = newRight)
 }

@@ -439,6 +439,20 @@ class CrawlSpec extends AnyFunSuite {
       .withColumn("b", sf2.bucketCol(col("project"), col("url_hash")))
       .where(!sf2.probe(col("b"), col("skey"))).count()
     assert(misses == 0, s"$misses committed keys missing from the rebuilt bloom")
+    // the probe is a codegen'd native expression on the J1 hot path — it
+    // must appear in the executed plan by name with no boxed ScalaUDF
+    // dispatch. Probe over a range (not a LocalRelation): a local source
+    // lets ConvertToLocalRelation evaluate the deterministic filter at
+    // optimize time, leaving no observable plan
+    val planDf = spark.range(0, 200)
+      .selectExpr("'p1' as project", "xxhash64(cast(id as string)) as url_hash",
+        "xxhash64(cast(id as string), 7) as skey")
+      .withColumn("b", sf2.bucketCol(col("project"), col("url_hash")))
+      .where(!sf2.probe(col("b"), col("skey")))
+    planDf.count() // force execution through codegen (compiles the generated probe call)
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_seen_probe"), s"probe expr missing from plan:\n${plan.take(800)}")
+    assert(!plan.contains("UDF"), s"probe must not be a ScalaUDF:\n${plan.take(800)}")
   }
 
   test("conditional fetch: matching ETag is a 304 — no re-extract, no result; changed ETag re-extracts") {
