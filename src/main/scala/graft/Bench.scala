@@ -169,7 +169,8 @@ object Bench {
     // ---- full-crawl throughput (the BASELINE metric at bench scale)
     val crawlCfg = PageGen.Config(nHosts = 2000, pagesPerHost = 60, hotHosts = 20,
       hotFactor = 5, fanout = 8)
-    def crawlBench(spark0: SparkSession): (Long, Long, Long, Seq[Double]) = {
+    def crawlBench(spark0: SparkSession,
+        store: Option[graft.frontier.FrontierStore] = None): (Long, Long, Long, Seq[Double]) = {
       import spark0.implicits._
       // DISK_ONLY: page html lives in spark.local.dir (tmpfs), not JVM heap
       val pages = PageGen.pages(spark0, crawlCfg).toDF()
@@ -180,7 +181,7 @@ object Bench {
       val stepCfg = graft.sched.Superstep.Config(topKAggSelection =
         sys.env.getOrElse("SPARK_GRAFT_TOPK", "1") != "0")
       val run = Crawler.run(spark0, pages, projects, seeds,
-        Crawler.CrawlConfig(maxSteps = 4, step = stepCfg))
+        Crawler.CrawlConfig(maxSteps = 4, step = stepCfg), store)
       val nRes = run.results.count()
       pages.unpersist()
       (run.totalScheduled, run.totalFresh, nRes, run.stepSeconds)
@@ -209,6 +210,35 @@ object Bench {
             "\"urls_per_sec\":([0-9.]+)".r.findFirstMatchIn(crawlJson).map(_.group(1).toDouble).getOrElse(0.0))
           crawlJson =
             f"""{"pages":${PageGen.totalPages(crawlCfg)},"urls_scheduled_plus_new":$crawlUrls,"results":${crawlStats._3},"sec":${crawlSec}%.2f,"urls_per_sec":${crawlRate}%.0f,"step_sec":${crawlStats._4.map(s => f"$s%.2f").mkString("[", ",", "]")},"calib_spin_per_sec":${calibSpin}%.0f,"calib_maponly_per_sec":${calibMap}%.0f}"""
+        releaseAll(spark, gc = true)
+      }
+      // ---- the real deployment path: the SAME graph through the COW
+      // FrontierStore (snapshot commits + bloom seen-index + O(touched)
+      // bucket writes per step) — turns the store's scale claim into a
+      // throughput number next to the no-store figure (verdict r03 item 3)
+      val storeRounds = sys.env.getOrElse("SPARK_GRAFT_CRAWL_STORE_ROUNDS", "2").toInt
+      var bestStoreRate = -1.0
+      (1 to storeRounds).foreach { _ =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench-store")
+        val store = new graft.frontier.FrontierStore(dir.toString, 32,
+          seenBuckets = 32, bloomItemsPerBucket = 1 << 20)
+        val (st, sec) = time(crawlBench(spark, Some(store)))
+        val urls = st._1 + st._2
+        val rate = urls / sec
+        if (rate > bestStoreRate && crawlJson != "null") {
+          bestStoreRate = rate
+          // splice into the crawl object (strip any previous store_* keys
+          // from an earlier round first)
+          val baseJson = crawlJson.replaceAll(""","store_urls_per_sec":[^}]*""", "")
+          crawlJson = baseJson.dropRight(1) +
+            f""","store_urls_per_sec":${rate}%.0f,"store_sec":${sec}%.2f,"store_step_sec":${st._4.map(x => f"$x%.2f").mkString("[", ",", "]")},"store_snapshots":${st._4.size}}"""
+        }
+        // temp store cleanup (snapshots can reach hundreds of MB)
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => }
         releaseAll(spark, gc = true)
       }
     } catch { case e: Throwable => System.err.println(s"[bench] crawl section died: $e") }
@@ -261,7 +291,11 @@ object Bench {
       // the sandbox VM shows time-varying CPU steal/throttle: alternate the
       // two levels and keep the best rate per level, so a throttled window
       // doesn't land entirely on one side of the ratio
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+      // 4 alternating rounds (was 3): with the VM's 3x minute-scale weather
+      // swings — measured base-vs-offheap A/B inverted its verdict between
+      // windows 20 min apart — an extra best-of sample per level materially
+      // raises the odds both levels see one fair window
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
       var r8 = -1.0; var r32 = -1.0
       var shW = -1L; var shR = -1L
       var st8 = "null"; var st32 = "null"

@@ -63,11 +63,52 @@ object Encoding {
       .orElse(xmlRe.findFirstMatchIn(w).map(_.group(1)))
   }
 
-  /** Full detection pipeline minus chardet: header charset else sniffed,
-    * gb2312->gb18030, fallback utf-8. */
+  /** Full detection pipeline: header charset else sniffed declaration else
+    * the deterministic byte heuristic (chardet-lite), gb2312->gb18030. */
   def detect(contentType: String, content: Array[Byte]): String = {
-    val enc = headerCharset(contentType).orElse(sniffCharset(content)).getOrElse("utf-8")
+    val enc = headerCharset(contentType).orElse(sniffCharset(content))
+      .getOrElse(detectBytes(content))
     if (enc.toLowerCase == "gb2312") "gb18030" else enc
+  }
+
+  /** chardet-lite (response.py:77-78's chardet branch, replaced by a
+    * REPRODUCIBLE deterministic subset — real chardet's ML scoring is not
+    * oracle-able): for content with NO header/meta/xml declaration,
+    *  1. bytes that validate as UTF-8 are UTF-8 (ASCII included);
+    *  2. else, if every high byte participates in a well-formed GBK-style
+    *     two-byte pair (lead 0x81-0xFE, trail 0x40-0xFE excluding 0x7F) and
+    *     at least one such pair exists -> gb18030;
+    *  3. else -> iso-8859-1 (the single-byte decode that never fails).
+    * Documented boundary: gb18030's rare 4-byte sequences (trail 0x30-0x39)
+    * and latin-1 text whose EVERY accented letter happens to precede a
+    * pair-compatible byte fall to the other side of the 2/3 split — the
+    * contract is the closed-form rule above, not chardet emulation. */
+  def detectBytes(content: Array[Byte]): String =
+    if (isValidUtf8(content)) "utf-8"
+    else if (looksGb18030(content)) "gb18030"
+    else "iso-8859-1"
+
+  def isValidUtf8(content: Array[Byte]): Boolean =
+    try {
+      StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .decode(ByteBuffer.wrap(content))
+      true
+    } catch { case _: Exception => false }
+
+  private def looksGb18030(content: Array[Byte]): Boolean = {
+    var i = 0; var pairs = 0
+    while (i < content.length) {
+      val x = content(i) & 0xFF
+      if (x < 0x80) i += 1
+      else if (x >= 0x81 && x <= 0xFE && i + 1 < content.length) {
+        val y = content(i + 1) & 0xFF
+        if (y >= 0x40 && y <= 0xFE && y != 0x7F) { pairs += 1; i += 2 }
+        else return false // lone high byte -> not GBK-shaped
+      } else return false // 0x80, or a high byte at end of input
+    }
+    pairs > 0
   }
 
   /** Decode with errors='replace'; unknown charset name -> utf-8 + replace

@@ -54,6 +54,27 @@ class EncodingSpec extends AnyFunSuite {
     assert(Encoding.extractText(null, null) == "")
   }
 
+  test("chardet-lite: undeclared charsets resolve by byte heuristic (response.py:77-78 subset)") {
+    // undeclared valid UTF-8 (incl. multibyte) stays utf-8
+    assert(Encoding.detectBytes("undeclared völlig valid".getBytes("UTF-8")) == "utf-8")
+    // undeclared GBK bytes: every high byte pairs -> gb18030, round-trips
+    val gb = "完全无标注的中文正文".getBytes(Charset.forName("GB18030"))
+    assert(Encoding.detectBytes(gb) == "gb18030")
+    assert(Encoding.extractText(gb, null) == "完全无标注的中文正文")
+    // undeclared latin-1 with an accent before a space (à ) -> cannot all
+    // pair -> latin-1, round-trips (even though ï/é mid-word WOULD pair)
+    val l1 = "naïve déjà vu à la carte".getBytes("ISO-8859-1")
+    assert(Encoding.detectBytes(l1) == "iso-8859-1")
+    assert(Encoding.extractText(l1, null) == "naïve déjà vu à la carte")
+    // boundary cases from the documented contract:
+    // 0x80 is not a valid GBK lead -> latin-1
+    assert(Encoding.detectBytes(Array[Byte]('a', 0x80.toByte, 'b')) == "iso-8859-1")
+    // trailing lone high byte -> latin-1
+    assert(Encoding.detectBytes(Array[Byte]('a', 0xE9.toByte)) == "iso-8859-1")
+    // a declaration (header or meta) always beats the heuristic
+    assert(Encoding.detect("text/html; charset=utf-8", l1) == "utf-8")
+  }
+
   test("gb2312-declared page decodes via gb18030") {
     val payload = "汉字".getBytes(Charset.forName("GB18030"))
     val html = "<meta charset=gb2312>".getBytes("UTF-8") ++ payload
