@@ -56,7 +56,10 @@ object Bench {
         "xxhash64(url) as url_hash", "priority", "id")
     val merged = canon.groupBy("url_hash")
       .agg(max("priority").as("priority"), min("id").as("first_id"),
-        first("host_hash", ignoreNulls = true).as("host_hash"))
+        // host_hash is functionally dependent on url_hash (the host is part
+        // of the url), so min == the value; min's agg buffer is simpler
+        // than First(ignoreNulls) in codegen
+        min("host_hash").as("host_hash"))
     val fresh = merged.join(seen, Seq("url_hash"), "left_anti")
     // ranked politeness selection via the partial-aggregable bounded heap
     // (TopKSelect) — no per-partition full sort; window fallback otherwise

@@ -856,6 +856,89 @@ object SparkEntry {
         .orderBy("project", "url")
     }),
 
+    "w2_time_release" -> ((s, dir) => {
+      // W2 time-queue semantics (task_queue.py:117-140): a task becomes
+      // schedulable only once its exetime arrives. 6 urls with exetime = i
+      // over 3 supersteps at now = 1,2,3 (unlimited budget): i<=1 fetch at
+      // step 1, i=2 at step 2, i=3 at step 3, i in {4,5} stay ACTIVE —
+      // and fetched (SUCCESS) rows are never re-selected.
+      Udfs.register(s)
+      import s.implicits._
+      val html = "<html><body>t</body></html>".getBytes("UTF-8")
+      val ts = new java.sql.Timestamp(0L)
+      val pages = (0 until 6).map(i => (s"http://h0.test/p/$i", ts, html, "", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      val frontier0 = Crawler.seedFrontierDf(s,
+          (0 until 6).map(i => ("p1", s"http://h0.test/p/$i")).toDF("project", "raw_url"), 0.0)
+        .withColumn("exetime",
+          regexp_extract($"url", "/p/([0-9]+)$", 1).cast("double"))
+      val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      val cfg = graft.sched.Superstep.Config(respectRobots = false)
+      var frontier = frontier0
+      var budgets = Crawler.emptyBudgets(s)
+      (1 to 3).foreach { step =>
+        val r = graft.sched.Superstep.run(s, frontier, budgets, idx, robots,
+          projects, step.toDouble, cfg)
+        frontier = r.frontier.localCheckpoint()
+        budgets = r.budgets.localCheckpoint()
+        r.unpersistAll()
+      }
+      frontier.selectExpr("project", "url", "status",
+          "cast(lastcrawltime as int) as fetched_step")
+        .orderBy("url")
+    }),
+
+    "f2_task_verify" -> ((s, dir) => {
+      // F2 task_verify (scheduler.py:416-423): a task whose project is not
+      // in projectdb is never selected — it stays ACTIVE and untouched
+      // while known-project tasks proceed. 10 urls across a known and an
+      // unknown project; one superstep.
+      Udfs.register(s)
+      import s.implicits._
+      val html = "<html><body>v</body></html>".getBytes("UTF-8")
+      val ts = new java.sql.Timestamp(0L)
+      val pages = (0 until 10).map(i => (s"http://h0.test/p/$i", ts, html, "", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      val seeds = (for { p <- Seq("known", "ghost"); i <- 0 until 10 } yield
+        (p, s"http://h0.test/p/$i")).toDF("project", "raw_url")
+      val frontier = Crawler.seedFrontierDf(s, seeds, 0.0)
+      val projects = Seq(("known", 1e9, 1e9)).toDF("name", "rate", "burst")
+      val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
+        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false))
+      r.frontier.selectExpr("project", "url", "status",
+          "cast(lastcrawltime as int) as fetched_step")
+        .orderBy("project", "url")
+    }),
+
+    "c7_counter_totals" -> ((s, dir) => {
+      // S12 counter persistence + reload (scheduler.py counter files /
+      // _update_projects reload): crawl the c1 graph 2 supersteps into a
+      // store, then RESUME the same store for the 3rd — the cumulative
+      // per-project totals in the final manifest must equal the closed-form
+      // per-layer arithmetic of the BFS (scheduled = selected per step,
+      // new_tasks = discovered per layer, done_success = fetchable
+      // selections, retried = failed fetches of private pages).
+      Udfs.register(s)
+      import s.implicits._
+      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
+      val pages = PageGen.pages(s, cfg).toDF()
+      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+      val store = new graft.frontier.FrontierStore(
+        java.nio.file.Files.createTempDirectory("graft-c7").toString, 4,
+        seenBuckets = 8, bloomItemsPerBucket = 4096)
+      Crawler.run(s, pages, projects, Seq("p1" -> "http://host0.example.com/page/1"),
+        Crawler.CrawlConfig(maxSteps = 2), Some(store))
+      // resume from snapshot 2: counters must ACCUMULATE across the restart
+      Crawler.run(s, pages, projects, Seq.empty,
+        Crawler.CrawlConfig(maxSteps = 3), Some(store))
+      val totals = store.read(s).get.counterTotals.getOrElse("p1", Map.empty)
+      Seq("scheduled", "new_tasks", "done_success", "retried")
+        .map(c => ("p1", c, totals.getOrElse(c, 0L)))
+        .toDF("project", "counter", "value").orderBy("counter")
+    }),
+
     "c6_streaming_crawl" -> ((s, dir) => {
       // §2.10 driver-checked (verdict r03 item 8): a MemoryStream-fed
       // continuous crawl over the SAME PageGen graph as c1 — the seed
@@ -1459,6 +1542,26 @@ SELECT a_id, b_id, jaccard FROM fin WHERE jaccard >= 0.4 ORDER BY a_id, b_id"""
       // StreamingCrawl's virtual clock (now0 + step * tick) matches
       // Crawler.run's, so the oracle is shared verbatim
       "c6_streaming_crawl" -> c1FrontierSql,
+      // c7: cumulative counters across a store resume — closed-form layer
+      // arithmetic: step s selects layer s-1's ACTIVE set (retry backoff
+      // pushes failed rows past the 3-step horizon, so each layer is
+      // selected exactly once within the run)
+      "c7_counter_totals" -> (c1BfsCte + """
+SELECT * FROM (
+ SELECT 'p1' AS project, 'scheduled' AS counter,
+   CAST(1 + (SELECT count(*) FROM l1) + (SELECT count(*) FROM l2) AS BIGINT) AS value
+ UNION ALL
+ SELECT 'p1', 'new_tasks',
+   CAST((SELECT count(*) FROM l1) + (SELECT count(*) FROM l2) + (SELECT count(*) FROM l3) AS BIGINT)
+ UNION ALL
+ SELECT 'p1', 'done_success',
+   CAST(1 + (SELECT count(*) FROM l1 WHERE url IN (SELECT url FROM fet))
+          + (SELECT count(*) FROM l2 WHERE url IN (SELECT url FROM fet)) AS BIGINT)
+ UNION ALL
+ SELECT 'p1', 'retried',
+   CAST((SELECT count(*) FROM l1 WHERE url NOT IN (SELECT url FROM fet))
+      + (SELECT count(*) FROM l2 WHERE url NOT IN (SELECT url FROM fet)) AS BIGINT)
+) ORDER BY counter"""),
       // c3: the SAME crawl run through the persisted FrontierStore — the
       // copy-on-write snapshot commits, the bucketed bloom seen-index (J1's
       // partition-local probe + pruned exact check), and the resume read
@@ -1508,7 +1611,23 @@ SELECT project,
            WHEN r < burst + least(burst, rate) THEN 2
            WHEN r < burst + 2 * least(burst, rate) THEN 3
            ELSE 0 END AS INT) AS fetched_step
-FROM grid ORDER BY project, url"""
+FROM grid ORDER BY project, url""",
+      // w2: release times are the exetime values themselves (ceiling'd by
+      // the step grid); i>3 never released within 3 steps
+      "w2_time_release" ->
+        """SELECT 'p1' AS project,
+ 'http://h0.test/p/' || CAST(i AS VARCHAR) AS url,
+ CAST(CASE WHEN i <= 3 THEN 2 ELSE 1 END AS INT) AS status,
+ CAST(CASE WHEN i <= 1 THEN 1 WHEN i <= 3 THEN i ELSE 0 END AS INT) AS fetched_step
+FROM (SELECT unnest(range(0, 6)) AS i) ORDER BY url""",
+      // f2: only the registered project's tasks run; the ghost project's
+      // rows are untouched (still ACTIVE, never crawled)
+      "f2_task_verify" ->
+        """SELECT p AS project, 'http://h0.test/p/' || CAST(i AS VARCHAR) AS url,
+ CAST(CASE WHEN p = 'known' THEN 2 ELSE 1 END AS INT) AS status,
+ CAST(CASE WHEN p = 'known' THEN 1 ELSE 0 END AS INT) AS fetched_step
+FROM (VALUES ('known'), ('ghost')) AS t(p)
+CROSS JOIN (SELECT unnest(range(0, 10)) AS i) ORDER BY project, url"""
     )
   }
 }
