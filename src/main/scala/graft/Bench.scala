@@ -123,12 +123,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "32000000").toLong
-    // 3 in-JVM reps + 3 alternating forked rounds: the VM's minute-scale
-    // throughput weather (spin tier swings 0.86-0.99 across windows) makes
-    // best-of sampling the only honest defense — an extra round costs ~2
-    // min and materially raises the odds both levels see a fair window
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    // 64M rows (was 32M): in a fair weather window the local[32] job at 32M
+    // finishes in ~5s, so per-job fixed costs (AQE planning, 4 stage
+    // barriers x scheduling delay) eat a visibly larger fraction at 32
+    // threads than in the ~20s local[8] run and depress the ratio for a
+    // structural (not algorithmic) reason; doubling n halves that bias and
+    // is closer to the sustained-throughput regime the 10^10 claim is about
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "64000000").toLong
+    // 2 in-JVM reps x 4 alternating forked rounds = 8 samples per level:
+    // the VM's minute-scale throughput weather (3x swings that can invert
+    // an A/B verdict between windows 20 min apart) makes best-of sampling
+    // the only honest defense; more independent windows beat more reps
+    // inside one window
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     sfDirState = sfDir
     // section gating (debug/bisect aid): e.g. SPARK_GRAFT_SECTIONS=crawl
     val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS", "queries,crawl,scaling")
@@ -157,10 +164,13 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
         }._2
         val sec1 = once()
-        // the sandbox VM has time-varying CPU steal: re-measure anything
-        // slow enough to matter and keep the best (documented best-of
-        // methodology, same as the scaling section)
-        val sec = if (sec1 > 1.0) { releaseAll(spark); math.min(sec1, once()) } else sec1
+        // the sandbox VM has time-varying CPU steal: re-measure mid-cost
+        // queries and keep the best (documented best-of methodology, same
+        // as the scaling section). Sub-second queries don't need it, and
+        // the 8s+ multi-superstep crawl oracles would double the section
+        // wall for marginal precision — they run once
+        val sec = if (sec1 > 1.0 && sec1 <= 8.0) { releaseAll(spark); math.min(sec1, once()) }
+          else sec1
         results += (name -> sec)
         queriesJson = results.map { case (k, v) => "\"" + k + f"\":${v}%.3f" }.mkString("{", ",", "}")
         totalSec = results.map(_._2).filter(_ >= 0).sum

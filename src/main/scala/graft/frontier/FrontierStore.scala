@@ -183,6 +183,32 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     deleteRecursively(tmp)
     Files.createDirectories(tmp)
 
+    // The four payloads (frontier/, seen-delta/+blooms/, budgets/,
+    // results-delta/) commit to INDEPENDENT directories inside the staged
+    // snapshot, so their writes overlap on driver threads (Spark job
+    // submission is thread-safe; the manifest rename below is still the
+    // single atomic commit point). One ordering constraint: a compaction's
+    // seen rewrite consumes keepProjects from the frontier merge, so full
+    // snapshots run frontier -> seen sequentially.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val writeEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fBudgets = Future {
+      budgets.coalesce(math.max(1, numPartitions / 8))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("budgets").toString)
+    }
+    val fResults = Future {
+      val resultsSrc =
+        if (full && prev.nonEmpty)
+          resultsView(spark, prev.get).unionByName(newResults)
+        else newResults
+      val has = !resultsSrc.isEmpty
+      if (has) resultsSrc.write.mode(SaveMode.Overwrite)
+        .parquet(tmp.resolve("results-delta").toString)
+      has
+    }
+
     val keyCols = Seq("project", "url_hash")
     val up = upserts.withColumn("bucket", frontierBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -203,7 +229,7 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     // compaction-persisted merge frame, released only after the seen
     // section (keepProjects derives from it)
     var compactCache: Option[DataFrame] = None
-    val writtenCounts: Map[Int, Long] =
+    def frontierSection(): Map[Int, Long] =
       if (skipFrontierWrite) Map.empty
       else {
         val oldTouched = prev match {
@@ -244,7 +270,13 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
             keepProjects = Some(act)
             merged1.join(broadcast(act), Seq("project"), "left_semi")
           } else merged1
-        mergedTouched.write.mode(SaveMode.Overwrite)
+        // one writer task per touched bucket: without this, every upstream
+        // task writes into every bucket dir — O(tasks x buckets) tiny files
+        // per snapshot, and the read-back + every later resume pays a
+        // footer-read per file. Bucket = the store's read parallelism unit,
+        // so one file per bucket is the intended layout.
+        mergedTouched.repartition(math.max(1, touched.length), col("bucket"))
+          .write.mode(SaveMode.Overwrite)
           .partitionBy("bucket").parquet(tmp.resolve("frontier").toString)
         if (merged1 ne merged0) compactCache = Some(merged1)
         // per-bucket lineage: owner + row count. A fully-empty write (e.g.
@@ -263,18 +295,10 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
           .groupBy("bucket").count().collect()
           .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
       }
-    val frontierOwner = Array.tabulate(numPartitions) { b =>
-      if (writtenCounts.contains(b)) id
-      // a touched-but-now-empty bucket must NOT keep pointing at an old
-      // snapshot: on a compaction snapshot the old owners are GC'd below
-      else if (full || touched.contains(b)) 0L
-      else prev.map(_.frontierOwner(b)).getOrElse(0L)
-    }
-    val rowsPerBucket = Array.tabulate(numPartitions) { b =>
-      if (writtenCounts.contains(b)) writtenCounts(b)
-      else if (full || touched.contains(b)) 0L
-      else prev.map(_.rowsPerBucket(b)).getOrElse(0L)
-    }
+    val fFrontier = Future(frontierSection())
+    // compaction: the frontier merge must complete before the seen rewrite
+    // (keepProjects); incremental snapshots let the two overlap
+    if (full) Await.ready(fFrontier, Duration.Inf)
 
     // ---- seen index: delta + bloom refresh (append-only; compaction
     // rewrites the full key set so the chain re-bases)
@@ -323,7 +347,8 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
       else prevSeenCap(b)
     }
     if (seenTouched.nonEmpty) {
-      seenKeyed.write.mode(SaveMode.Overwrite)
+      seenKeyed.repartition(math.max(1, seenTouched.length), col("bucket"))
+        .write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(tmp.resolve("seen-delta").toString)
       // bloom refresh: executors write side-files into the staged snapshot
       // (shared FS — same contract as any shuffle/output commit); file names
@@ -384,16 +409,22 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
         (if (seenTouched.nonEmpty) Seq(id -> seenTouched.toSet) else Seq.empty)
     seenKeyed.unpersist(false)
 
-    // ---- budgets (small, full write) + results (append-only delta)
-    budgets.coalesce(math.max(1, numPartitions / 8))
-      .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("budgets").toString)
-    val resultsSrc =
-      if (full && prev.nonEmpty)
-        resultsView(spark, prev.get).unionByName(newResults)
-      else newResults
-    val hasResults = !resultsSrc.isEmpty
-    if (hasResults)
-      resultsSrc.write.mode(SaveMode.Overwrite).parquet(tmp.resolve("results-delta").toString)
+    // ---- join the concurrent frontier/budgets/results writes
+    val writtenCounts: Map[Int, Long] = Await.result(fFrontier, Duration.Inf)
+    val frontierOwner = Array.tabulate(numPartitions) { b =>
+      if (writtenCounts.contains(b)) id
+      // a touched-but-now-empty bucket must NOT keep pointing at an old
+      // snapshot: on a compaction snapshot the old owners are GC'd below
+      else if (full || touched.contains(b)) 0L
+      else prev.map(_.frontierOwner(b)).getOrElse(0L)
+    }
+    val rowsPerBucket = Array.tabulate(numPartitions) { b =>
+      if (writtenCounts.contains(b)) writtenCounts(b)
+      else if (full || touched.contains(b)) 0L
+      else prev.map(_.rowsPerBucket(b)).getOrElse(0L)
+    }
+    val hasResults = Await.result(fResults, Duration.Inf)
+    Await.result(fBudgets, Duration.Inf)
     val resultSnaps =
       if (full) (if (hasResults) Seq(id) else Seq.empty)
       else prev.map(_.resultSnaps).getOrElse(Seq.empty) ++

@@ -136,4 +136,30 @@ class LiveFetchSpec extends AnyFunSuite {
         s"server never saw If-None-Match: ${seen.toArray.mkString("; ")}")
     } finally server.stop(0)
   }
+
+  test("LiveCrawler: robots cached per host for the virtual TTL; full crawl via the live backend") {
+    val (server, base, seen) = fixtureServer()
+    try {
+      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+      def robotsHits = seen.toArray.count(_.toString.startsWith("/robots.txt"))
+
+      // TTL 3600 >> 3 ticks: robots fetched exactly ONCE for the host
+      // across the whole crawl (tornado_fetcher.py:291-314 cache semantics)
+      val run = graft.fetch.LiveCrawler.run(spark, projects,
+        Seq("p1" -> s"$base/start"), maxSteps = 3)
+      assert(run.robotsFetches == 1, s"expected 1 robots GET, got ${run.robotsFetches}")
+      assert(robotsHits == 1, s"server saw $robotsHits robots GETs")
+      // the crawl itself worked end-to-end through the live backend
+      assert(run.frontier.where($"url" === s"$base/start" && $"status" === 2).count() == 1)
+      assert(run.frontier.where($"url" === s"$base/next" && $"status" === 2).count() == 1)
+      assert(run.frontier.where($"url" === s"$base/private" && $"status" === 1).count() == 1)
+      assert(run.results.where($"url" === s"$base/start").count() == 1)
+
+      // TTL shorter than a tick: every step with ready hosts refetches
+      seen.clear()
+      val run2 = graft.fetch.LiveCrawler.run(spark, projects,
+        Seq("p1" -> s"$base/start"), maxSteps = 2, robotsTtlSeconds = 0.5)
+      assert(run2.robotsFetches == 2, s"expected a robots GET per step, got ${run2.robotsFetches}")
+    } finally server.stop(0)
+  }
 }
