@@ -63,13 +63,19 @@ object SparkEntry {
       ((f.collect().toSeq, f.schema), (r.collect().toSeq, r.schema))
     })
 
-  // ---- c3/c7 share ONE store-backed crawl (2 supersteps + a RESUME for the
-  // 3rd): c3 grades the final frontier (identical to a straight 3-step run
-  // by the resume contract — which this therefore also oracle-checks) and
-  // c7 grades the cumulative counter totals across the restart.
-  private val c3Memo =
-    new java.util.concurrent.ConcurrentHashMap[Int, (RowsAndSchema, Map[String, Long])]()
-  private def c3SharedStoreCrawl(s: SparkSession): (RowsAndSchema, Map[String, Long]) =
+  // ---- c3/c7/w3 share ONE store-backed crawl (1 superstep + two RESUMES,
+  // with kill debris injected at the first restart boundary): c3 grades the
+  // final frontier (identical to a straight 3-step run by the resume
+  // contract — which this therefore also oracle-checks), c7 grades the
+  // cumulative counter totals across the restarts, and w3 grades the
+  // committed snapshot lineage (id/step/frontier_rows) — proving the
+  // half-staged `snap-N.tmp` and the orphan renamed-but-uncommitted
+  // `snap-N` a mid-flight kill leaves behind are both discarded on resume
+  // (W3: the processing timeout IS the snapshot boundary).
+  private val c3Memo = new java.util.concurrent.ConcurrentHashMap[
+    Int, (RowsAndSchema, Map[String, Long], Seq[(Long, Int, Long)])]()
+  private def c3SharedStoreCrawl(
+      s: SparkSession): (RowsAndSchema, Map[String, Long], Seq[(Long, Int, Long)]) =
     c3Memo.computeIfAbsent(System.identityHashCode(s), _ => {
       Udfs.register(s)
       import s.implicits._
@@ -80,18 +86,40 @@ object SparkEntry {
       // builds, lineage) is fully on the path either way, and at this
       // 30-page oracle scale extra buckets only add fixed per-file parquet
       // cost to the round's query wall (verdict r03 item 7)
+      val rootDir = java.nio.file.Files.createTempDirectory("graft-c3")
       val store = new graft.frontier.FrontierStore(
-        java.nio.file.Files.createTempDirectory("graft-c3").toString, 4,
-        seenBuckets = 8, bloomItemsPerBucket = 4096)
+        rootDir.toString, 4, seenBuckets = 8, bloomItemsPerBucket = 4096)
       Crawler.run(s, pages, projects, Seq("p1" -> "http://host0.example.com/page/1"),
+        Crawler.CrawlConfig(maxSteps = 1), Some(store))
+      // simulate a kill mid-superstep-2: BOTH failure shapes the commit
+      // protocol can leave behind — a half-staged snap-3.tmp (killed while
+      // writing) and an orphan fully-renamed snap-3 whose VERSION swap
+      // never happened (killed between the two renames). Resume must
+      // ignore and overwrite both (FrontierStore.writeIncremental deletes
+      // tmp and fin before its own rename).
+      val debrisTmp = rootDir.resolve("snap-000003.tmp")
+      java.nio.file.Files.createDirectories(debrisTmp.resolve("frontier"))
+      java.nio.file.Files.writeString(
+        debrisTmp.resolve("frontier").resolve("part-00000.parquet"), "half-written")
+      val debrisOrphan = rootDir.resolve("snap-000003")
+      java.nio.file.Files.createDirectories(debrisOrphan.resolve("budgets"))
+      java.nio.file.Files.writeString(
+        debrisOrphan.resolve("manifest.json"), """{"format":999,"snapshot":3,TRUNC""")
+      // resume from snapshot 2 (VERSION still points at it): the crawl
+      // continues exactly, and counters ACCUMULATE across the restart
+      Crawler.run(s, pages, projects, Seq.empty,
         Crawler.CrawlConfig(maxSteps = 2), Some(store))
-      // resume from snapshot 2: the crawl continues exactly, and counters
-      // ACCUMULATE across the restart
       Crawler.run(s, pages, projects, Seq.empty,
         Crawler.CrawlConfig(maxSteps = 3), Some(store))
       val snap = store.read(s).get
       val f = snap.frontier.selectExpr("project", "url", "status", "retried").orderBy("url")
-      ((f.collect().toSeq, f.schema), snap.counterTotals.getOrElse("p1", Map.empty))
+      val lineage = (1L to store.currentId.get).map { id =>
+        val m = store.manifestJson(id)
+        def lf(k: String): Long =
+          ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(m).get.group(1).toLong
+        (lf("snapshot"), lf("step").toInt, lf("frontier_rows"))
+      }
+      ((f.collect().toSeq, f.schema), snap.counterTotals.getOrElse("p1", Map.empty), lineage)
     })
 
   // ---- shared synthesized inputs (kept textually parallel to the oracle SQL)
@@ -777,7 +805,7 @@ object SparkEntry {
       // seen-index (J1 partition-local probe + pruned exact check), the
       // resume path, and the final snapshot read all sit on the path; the
       // output must still equal the closed-form BFS oracle
-      val (f, _) = c3SharedStoreCrawl(s)
+      val (f, _, _) = c3SharedStoreCrawl(s)
       s.createDataFrame(new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(f._1).asJava), f._2)
     }),
@@ -930,6 +958,34 @@ object SparkEntry {
         .orderBy("project", "url")
     }),
 
+    "f10_fetch_dispatch" -> ((s, dir) => {
+      // F10 fetch-type dispatch (tornado_fetcher.py:119-127 + data_fetch
+      // :176-198): a data: URL task needs NO pages row and no robots check
+      // — its fetch is the url's own payload, an instant 200 — while http
+      // tasks still require the capture (absent page -> retry ladder).
+      // 10 data + 10 captured-http + 5 missing-http tasks, one superstep.
+      Udfs.register(s)
+      import s.implicits._
+      val html = "<html><body>h</body></html>".getBytes("UTF-8")
+      val ts = new java.sql.Timestamp(0L)
+      val pages = (0 until 10).map(i => (s"http://h0.test/p/$i", ts, html, "", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      val seeds = ((0 until 10).map(i => ("p1", s"http://h0.test/p/$i")) ++
+        (0 until 10).map(i => ("p1", s"data:,payload%20$i")) ++
+        (0 until 5).map(i => ("p1", s"http://h0.test/missing/$i")))
+        .toDF("project", "raw_url")
+      val frontier = Crawler.seedFrontierDf(s, seeds, 0.0)
+      val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
+        projects, 1.0, graft.sched.Superstep.Config())
+      r.upserts.join(
+          r.newResults.select($"project", $"url_hash").withColumn("got_result", lit(true)),
+          Seq("project", "url_hash"), "left_outer")
+        .select($"url", $"status", coalesce($"got_result", lit(false)).as("got_result"))
+        .orderBy("url")
+    }),
+
     "c7_counter_totals" -> ((s, dir) => {
       // S12 counter persistence + reload (scheduler.py counter files /
       // _update_projects reload): the OTHER output of c3's shared
@@ -939,10 +995,62 @@ object SparkEntry {
       // layer, done_success = fetchable selections, retried = failed
       // fetches of private pages).
       import s.implicits._
-      val (_, totals) = c3SharedStoreCrawl(s)
+      val (_, totals, _) = c3SharedStoreCrawl(s)
       Seq("scheduled", "new_tasks", "done_success", "retried")
         .map(c => ("p1", c, totals.getOrElse(c, 0L)))
         .toDF("project", "counter", "value").orderBy("counter")
+    }),
+
+    "w3_kill_resume" -> ((s, dir) => {
+      // W3 processing timeout / crash recovery (scheduler.py:86
+      // ACTIVE_TASKS processing timeout; our design: the timeout IS the
+      // snapshot boundary — FrontierStore.scala:37-38 commit protocol):
+      // the shared c3 crawl is killed mid-superstep-2 leaving BOTH debris
+      // shapes (half-staged snap-3.tmp AND an orphan renamed snap-3 whose
+      // VERSION swap never landed), then resumed twice. The committed
+      // snapshot chain (id, step, frontier rows) must carry exactly the
+      // BFS cumulative layer counts — no lost work, no double work, no
+      // debris surfacing as a snapshot.
+      val (_, _, lineage) = c3SharedStoreCrawl(s)
+      import s.implicits._
+      lineage.toDF("snapshot", "step", "frontier_rows").orderBy("snapshot")
+    }),
+
+    "j4b_robots_gate" -> ((s, dir) => {
+      // J4 robots join + F9 gate INSIDE the superstep
+      // (tornado_fetcher.py:287-322 robotparser semantics): per-host
+      // robots.txt rows ride the pages table, preparePages lifts them into
+      // the broadcast robots side, and a denial consumes the token and
+      // fails into the retry ladder. 5 hosts x (4 /p/ + 4 /priv/) urls:
+      //   h0 no robots.txt                 -> all allowed (missing = allow)
+      //   h1 "*: Disallow /priv/"          -> /priv/ denied
+      //   h2 "*: Disallow /"               -> all denied
+      //   h3 "*" group FIRST (Disallow /), graftbot group later (Disallow
+      //      /priv/) -> the UA-specific group wins — the default entry
+      //      must not shadow it (robotparser order rule): /p/ allowed
+      //   h4 "otherbot: Disallow /"        -> no applicable group -> allowed
+      Udfs.register(s)
+      import s.implicits._
+      val html = "<html><body>ok</body></html>".getBytes("UTF-8")
+      val ts = new java.sql.Timestamp(0L)
+      val robotsOf = Seq(
+        1 -> "User-agent: *\nDisallow: /priv/\n",
+        2 -> "User-agent: *\nDisallow: /\n",
+        3 -> "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nDisallow: /priv/\n",
+        4 -> "User-agent: otherbot\nDisallow: /\n")
+      val pageRows = for { h <- 0 until 5; cls <- Seq("p", "priv"); i <- 0 until 4 }
+        yield (s"http://h$h.test/$cls/$i", ts, html, "", "en")
+      val robotRows = robotsOf.map { case (h, body) =>
+        (s"http://h$h.test/robots.txt", ts, body.getBytes("UTF-8"), "", "en") }
+      val pages = (pageRows ++ robotRows).toDF("url", "warc_ts", "html", "text", "lang")
+      val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      val seeds = pageRows.map { case (u, _, _, _, _) => ("p1", u) }
+        .toDF("project", "raw_url")
+      val frontier = Crawler.seedFrontierDf(s, seeds, 0.0)
+      val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
+        projects, 1.0, graft.sched.Superstep.Config())
+      r.upserts.select($"url", $"status", $"retried").orderBy("url")
     }),
 
     "c6_streaming_crawl" -> ((s, dir) => {
@@ -1568,6 +1676,33 @@ SELECT * FROM (
    CAST((SELECT count(*) FROM l1 WHERE url NOT IN (SELECT url FROM fet))
       + (SELECT count(*) FROM l2 WHERE url NOT IN (SELECT url FROM fet)) AS BIGINT)
 ) ORDER BY counter"""),
+      // w3: kill-recovery snapshot lineage — committed snapshot k+1 records
+      // step k, and its frontier row count is the BFS's cumulative layer
+      // sizes (urls discovered by the end of step k); the injected
+      // mid-flight kill debris must never surface as a snapshot
+      "w3_kill_resume" -> (c1BfsCte + """
+SELECT CAST(s.i + 1 AS BIGINT) AS snapshot, CAST(s.i AS INT) AS step,
+  (SELECT CAST(count(*) AS BIGINT) FROM lv WHERE depth <= s.i) AS frontier_rows
+FROM (SELECT unnest(range(0, 4)) AS i) s ORDER BY snapshot"""),
+      // j4b: robots gate closed-form — denial is a per-(host,path-class)
+      // CASE mirroring robotparser group selection (UA-specific group wins
+      // over the "*" default regardless of file order; no applicable group
+      // or no robots.txt = allow); denied -> retry ladder (status 1,
+      // retried 1), allowed -> fetched (status 2)
+      "j4b_robots_gate" ->
+        """SELECT url, CAST(CASE WHEN denied THEN 1 ELSE 2 END AS INT) AS status,
+ CAST(CASE WHEN denied THEN 1 ELSE 0 END AS INT) AS retried
+FROM (
+  SELECT 'http://h' || CAST(h AS VARCHAR) || '.test/' || cls || '/' || CAST(i AS VARCHAR) AS url,
+    CASE CAST(h AS INT)
+      WHEN 1 THEN cls = 'priv'
+      WHEN 2 THEN TRUE
+      WHEN 3 THEN cls = 'priv'
+      ELSE FALSE END AS denied
+  FROM (SELECT unnest(range(0, 5)) AS h),
+       (VALUES ('p'), ('priv')) AS c(cls),
+       (SELECT unnest(range(0, 4)) AS i)
+) ORDER BY url""",
       // c3: the SAME crawl run through the persisted FrontierStore — the
       // copy-on-write snapshot commits, the bucketed bloom seen-index (J1's
       // partition-local probe + pruned exact check), and the resume read
@@ -1633,7 +1768,20 @@ FROM (SELECT unnest(range(0, 6)) AS i) ORDER BY url""",
  CAST(CASE WHEN p = 'known' THEN 2 ELSE 1 END AS INT) AS status,
  CAST(CASE WHEN p = 'known' THEN 1 ELSE 0 END AS INT) AS fetched_step
 FROM (VALUES ('known'), ('ghost')) AS t(p)
-CROSS JOIN (SELECT unnest(range(0, 10)) AS i) ORDER BY project, url"""
+CROSS JOIN (SELECT unnest(range(0, 10)) AS i) ORDER BY project, url""",
+      // f10: data: urls are opaque (canonicalization preserves them) and
+      // fetch instantly; captured http pages succeed; missing pages retry
+      "f10_fetch_dispatch" ->
+        """SELECT url, CAST(s AS INT) AS status, g AS got_result FROM (
+  SELECT 'http://h0.test/p/' || CAST(i AS VARCHAR) AS url, 2 AS s, TRUE AS g
+    FROM (SELECT unnest(range(0, 10)) AS i)
+  UNION ALL
+  SELECT 'data:,payload%20' || CAST(i AS VARCHAR), 2, TRUE
+    FROM (SELECT unnest(range(0, 10)) AS i)
+  UNION ALL
+  SELECT 'http://h0.test/missing/' || CAST(i AS VARCHAR), 1, FALSE
+    FROM (SELECT unnest(range(0, 5)) AS i)
+) ORDER BY url"""
     )
   }
 }

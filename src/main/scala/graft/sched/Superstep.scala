@@ -393,7 +393,11 @@ object Superstep {
           call_udf("robots_can_fetch", col("robots_txt"), lit(cfg.userAgent),
             expr("parse_url(url, 'PATH')"))
         else lit(true))
-      .withColumn("fetch_ok", $"html".isNotNull && $"robots_ok")
+      // F10 fetch-type dispatch (tornado_fetcher.py:119-127): a data: URL
+      // task needs no pages row and no robots check — its "fetch" is the
+      // url's own payload, always a fresh 200 (data_fetch, :176-198)
+      .withColumn("is_data_url", $"url".startsWith("data:"))
+      .withColumn("fetch_ok", $"is_data_url" || ($"html".isNotNull && $"robots_ok"))
       // conditional fetch (If-None-Match / If-Modified-Since): the task's
       // stored track headers matching the page's current headers is the
       // 304 path — the fetch succeeds but the content is known-unchanged,
@@ -411,7 +415,8 @@ object Superstep {
           .otherwise($"last_modified".isNotNull && $"page_lm".isNotNull &&
             $"last_modified" === $"page_lm"), lit(false)))
       .withColumn("page_text",
-        when($"fetch_ok" && !$"not_modified", expr("extract_text(html)")))
+        when($"is_data_url", expr("data_url_decode(url)"))
+          .when($"fetch_ok" && !$"not_modified", expr("extract_text(html)")))
       .drop("robots_txt", "html")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -609,8 +614,10 @@ object Superstep {
     // not-modified fetch produces no new result — content is unchanged)
     val newResults = fetched
       .where($"fetch_ok" && !$"not_modified")
-      .withColumn("ext", lower(regexp_extract(expr("parse_url(url, 'PATH')"),
-        "\\.([A-Za-z0-9]+)$", 1)))
+      // coalesce: parse_url yields NULL for non-hierarchical urls (data:),
+      // and a NULL ext would three-valued-logic the row out of the sink
+      .withColumn("ext", lower(regexp_extract(
+        expr("coalesce(parse_url(url, 'PATH'), '')"), "\\.([A-Za-z0-9]+)$", 1)))
       .where(!$"ext".isin("png", "js", "css")) // conf/url_filter.conf
       .select($"project", $"url_hash", $"url",
         $"method".as("type"),

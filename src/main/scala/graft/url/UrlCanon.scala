@@ -222,8 +222,16 @@ object UrlCanon {
     if (fast != null) fast else canonGeneral(url)
   }
 
+  /** Non-hierarchical schemes are OPAQUE: they carry no authority, so the
+    * host/path/query rebuild does not apply — forcing one used to mangle
+    * `data:,x` into `data://,x`, changing the task's identity hash vs the
+    * reference (which md5's the data url as given; tornado_fetcher.py:176
+    * data_fetch consumes the raw url). Kept as-is apart from trim. */
+  private val OpaqueSchemes = Set("data", "mailto", "javascript", "about", "tel", "urn")
+
   def canonGeneral(url: String): String = parse(url) match {
     case None => url.trim
+    case Some(p) if p.host.isEmpty && OpaqueSchemes(p.scheme) => url.trim
     case Some(p) => rebuild(p, keepFragment = false, sortQuery = true)
   }
 

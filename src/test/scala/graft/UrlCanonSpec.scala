@@ -5,6 +5,15 @@ import graft.url.UrlCanon
 
 class UrlCanonSpec extends AnyFunSuite {
 
+  test("opaque schemes are preserved, never authority-rebuilt (data_fetch consumes the raw url)") {
+    assert(UrlCanon.canonicalize("data:,Hello%2C%20World!") == "data:,Hello%2C%20World!")
+    assert(UrlCanon.canonicalize(" data:text/html;base64,PGh0bWw+ ") == "data:text/html;base64,PGh0bWw+")
+    assert(UrlCanon.canonicalize("mailto:a@b.example") == "mailto:a@b.example")
+    assert(UrlCanon.canonicalize("javascript:void(0)") == "javascript:void(0)")
+    // a scheme-less or http url is NOT opaque — the rebuild still applies
+    assert(UrlCanon.canonicalize("HTTP://Example.COM:80/a/../b") == "http://example.com/b")
+  }
+
   test("parse basic") {
     val p = UrlCanon.parse("HTTP://User@Example.COM:8080/a/b?x=1#frag").get
     assert(p.scheme == "http")
