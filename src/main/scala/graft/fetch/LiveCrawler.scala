@@ -34,18 +34,33 @@ object LiveCrawler {
       robotsTtlSeconds: Double = 3600.0,
       /** url-list -> pages-schema capture; swap for a fixture in tests */
       fetch: (SparkSession, DataFrame) => DataFrame =
-        (s, urls) => LiveFetch.fetchPages(s, urls)): LiveRun = {
+        (s, urls) => LiveFetch.fetchPages(s, urls),
+      /** optional COW snapshot store — the live deployment mode: same
+        * bootstrap/commit/resume protocol as [[Crawler.run]], so a killed
+        * live crawl resumes from the last committed snapshot and the J1
+        * seen-probe runs against the bucketed bloom index */
+      store: Option[graft.frontier.FrontierStore] = None): LiveRun = {
     import spark.implicits._
 
-    var frontier = Crawler.seedFrontier(spark, seeds, now0).localCheckpoint()
-    var budgets = Crawler.emptyBudgets(spark)
-    var results = Crawler.emptyResults(spark)
+    store.foreach { s =>
+      if (s.currentId.isEmpty) {
+        val sf = Crawler.seedFrontier(spark, seeds, now0)
+        s.writeIncremental(spark, 0, now0, sf, sf.select("project", "url_hash"),
+          Crawler.emptyBudgets(spark), Crawler.emptyResults(spark),
+          Crawler.emptyCounters(spark))
+      }
+    }
+    val resumed = store.flatMap(_.read(spark))
+    var step = resumed.map(_.step).getOrElse(0)
+    var frontier = resumed.map(_.frontier)
+      .getOrElse(Crawler.seedFrontier(spark, seeds, now0).localCheckpoint())
+    var budgets = resumed.map(_.budgets).getOrElse(Crawler.emptyBudgets(spark))
+    var results = resumed.map(_.results).getOrElse(Crawler.emptyResults(spark))
     // host -> (capturedAtVirtualTime, robots bytes | null = allow-all)
     val robotsCache = scala.collection.mutable.Map.empty[String, (Double, Array[Byte])]
     var robotsFetches = 0L
     var totalScheduled = 0L
     var totalFresh = 0L
-    var step = 0
     var done = false
 
     while (step < maxSteps && !done) {
@@ -85,12 +100,20 @@ object LiveCrawler {
         Superstep.preparePages(spark, content.unionByName(robotsRows))
 
       val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
-        projects, now, cfg)
+        projects, now, cfg, store.flatMap(_.seenFilter(spark)))
       val delta = r.newResults.join(
         results.select($"project", $"url_hash"), Seq("project", "url_hash"), "left_anti")
-      frontier = r.frontier.localCheckpoint()
-      budgets = r.budgets.localCheckpoint()
-      results = results.unionByName(delta).localCheckpoint()
+      store match {
+        case Some(s) =>
+          s.writeIncremental(spark, step, now, r.upserts, r.freshKeys,
+            r.budgets, delta, r.counters)
+          val snap = s.read(spark).get
+          frontier = snap.frontier; budgets = snap.budgets; results = snap.results
+        case None =>
+          frontier = r.frontier.localCheckpoint()
+          budgets = r.budgets.localCheckpoint()
+          results = results.unionByName(delta).localCheckpoint()
+      }
       totalScheduled += r.scheduled
       totalFresh += r.fresh
       r.unpersistAll()

@@ -162,4 +162,40 @@ class LiveFetchSpec extends AnyFunSuite {
       assert(run2.robotsFetches == 2, s"expected a robots GET per step, got ${run2.robotsFetches}")
     } finally server.stop(0)
   }
+
+  test("LiveCrawler + FrontierStore: live crawl commits snapshots and resumes from a kill") {
+    val (server, base, _) = fixtureServer()
+    try {
+      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+      val root = java.nio.file.Files.createTempDirectory("graft-live-store")
+      val store = new graft.frontier.FrontierStore(root.toString, 4,
+        seenBuckets = 8, bloomItemsPerBucket = 4096)
+
+      // run 1: seed bootstrap (snapshot 1) + superstep 1 (snapshot 2), then
+      // "killed" — leave half-staged debris like a real mid-write crash
+      val r1 = graft.fetch.LiveCrawler.run(spark, projects,
+        Seq("p1" -> s"$base/start"), maxSteps = 1, store = Some(store))
+      assert(r1.steps == 1 && store.currentId.contains(2L))
+      val debris = root.resolve("snap-000003.tmp")
+      java.nio.file.Files.createDirectories(debris)
+      java.nio.file.Files.writeString(debris.resolve("junk"), "half")
+
+      // run 2 resumes from snapshot 2 (seeds ignored — already bootstrapped)
+      // and finishes the crawl through the live backend
+      val r2 = graft.fetch.LiveCrawler.run(spark, projects, Seq.empty,
+        maxSteps = 3, store = Some(store))
+      assert(r2.steps == 3)
+
+      // the resumed store-backed crawl lands on exactly the uninterrupted
+      // no-store live crawl's frontier (project, url, status, retried)
+      val straight = graft.fetch.LiveCrawler.run(spark, projects,
+        Seq("p1" -> s"$base/start"), maxSteps = 3)
+      val cols = Seq("project", "url", "status", "retried")
+      val got = r2.frontier.selectExpr(cols: _*).orderBy("url").collect().toSeq
+      val want = straight.frontier.selectExpr(cols: _*).orderBy("url").collect().toSeq
+      assert(got == want, s"store-resumed live crawl diverged:\n got=$got\nwant=$want")
+      // results sink made it into the store too
+      assert(r2.results.where($"url" === s"$base/start").count() == 1)
+    } finally server.stop(0)
+  }
 }
