@@ -30,6 +30,16 @@ object Bench {
     * vs `m` seen URLs. CPU-bound (codegen'd canonicalizer) + one shuffle per
     * stage — the shape that must scale N -> 4N. */
   def scheduleDedupJob(spark: SparkSession, n: Long, m: Long): Long = {
+    scheduleDedupPlan(spark, n, m,
+      sys.env.getOrElse("SPARK_GRAFT_DEDUP_VARIANT", "unionagg")).count()
+    n
+  }
+
+  /** The metric job's plan, variant-selectable ("unionagg" | "join") so the
+    * two physical strategies stay A/B-able and their result equivalence
+    * stays a test (QueriesSpec). */
+  def scheduleDedupPlan(spark: SparkSession, n: Long, m: Long,
+      variant: String): org.apache.spark.sql.DataFrame = {
     Udfs.register(spark)
     val hosts = 5000
     // ~4x duplicate discovery per URL (a crawl's follow stream is heavily
@@ -42,7 +52,6 @@ object Bench {
     val seen = spark.range(m).selectExpr(
       s"xxhash64(concat('http://host', cast(id % $hosts as string), '.example.com/p/', cast(id % $distinctPaths as string), '?a=1&b=', cast(id % 7 as string))) as url_hash")
     val canon = newTasks
-      .selectExpr("canonicalize_url(raw_url) as url", "priority", "id")
       // the politeness/selection key travels as the 8-byte xxhash64 of the
       // canonical host, never the host string: budget/selection state is
       // keyed, not displayed, so host identity == host-hash identity, and
@@ -50,17 +59,42 @@ object Bench {
       // variable ~70-byte rows — the memory-bandwidth diet the N->4N
       // scaling lives on. Strings (url, host) re-enter only AFTER selection
       // via a hash join over the selected subset, the same discipline as
-      // the superstep's flag join.
-      .selectExpr(
-        "xxhash64(substring_index(substring_index(url, '://', -1), '/', 1)) as host_hash",
-        "xxhash64(url) as url_hash", "priority", "id")
-    val merged = canon.groupBy("url_hash")
-      .agg(max("priority").as("priority"), min("id").as("first_id"),
-        // host_hash is functionally dependent on url_hash (the host is part
-        // of the url), so min == the value; min's agg buffer is simpler
-        // than First(ignoreNulls) in codegen
-        min("host_hash").as("host_hash"))
-    val fresh = merged.join(seen, Seq("url_hash"), "left_anti")
+      // the superstep's flag join. url_keys computes both hashes in ONE
+      // byte pass with the canonical form held in per-thread scratch — the
+      // canonical string itself is never materialized as a row value
+      // (UrlKeys scaladoc: the map stage is bandwidth-bound at 32 threads;
+      // fewer allocated bytes per row is what scales).
+      .selectExpr("url_keys(raw_url) as k", "priority", "id")
+      .selectExpr("k.host_hash as host_hash", "k.url_hash as url_hash", "priority", "id")
+    // W4 merge + J1 seen-dedup in ONE hash aggregate: the seen side rides
+    // the SAME union/exchange as the task rows (flag column) and the
+    // anti-join becomes `max(seen_flag) = 0` — one reduce-side structure
+    // instead of agg hash table + join build/sort over the same 1.7 GB of
+    // shuffled bytes. Stage tables (BENCH.md round 4) had the join stage at
+    // 99 s CPU of the 205 s total at p=32; this removes its second pass.
+    // Identical result set to groupBy + left_anti (asserted in QueriesSpec;
+    // the variant parameter keeps the join strategy measurable).
+    val fresh =
+      if (variant == "unionagg") {
+        val t = canon.selectExpr("url_hash", "host_hash", "priority", "id",
+          "cast(0 as int) as seen_flag")
+        val sj = seen.selectExpr("url_hash", "cast(null as bigint) as host_hash",
+          "cast(-1 as int) as priority", "cast(null as bigint) as id",
+          "cast(1 as int) as seen_flag")
+        t.unionByName(sj).groupBy("url_hash")
+          .agg(max("priority").as("priority"), min("id").as("first_id"),
+            // host_hash is functionally dependent on url_hash (the host is
+            // part of the url), so min == the value (nulls from seen rows
+            // are ignored by min); min's agg buffer is simpler than
+            // First(ignoreNulls) in codegen
+            min("host_hash").as("host_hash"), max("seen_flag").as("seen_flag"))
+          .where(col("seen_flag") === 0).drop("seen_flag")
+      } else {
+        val merged = canon.groupBy("url_hash")
+          .agg(max("priority").as("priority"), min("id").as("first_id"),
+            min("host_hash").as("host_hash"))
+        merged.join(seen, Seq("url_hash"), "left_anti")
+      }
     // ranked politeness selection via the partial-aggregable bounded heap
     // (TopKSelect) — no per-partition full sort; window fallback otherwise
     val selected =
@@ -73,7 +107,7 @@ object Bench {
             org.apache.spark.sql.expressions.Window.partitionBy("host_hash")
               .orderBy(col("priority").desc, col("url_hash").asc)))
           .where(col("rnk") <= 50)
-    selected.count()
+    selected
   }
 
   // Incrementally-built result state: the shutdown hook prints whatever is

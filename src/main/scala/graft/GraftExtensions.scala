@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.url.{CanonicalizeUrl, UrlHost}
+import graft.url.{CanonicalizeUrl, UrlHost, UrlKeys}
 
 /**
  * SparkSessionExtensions entry point — registers the engine's native
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("url_host"),
         new ExpressionInfo(classOf[UrlHost].getName, "url_host"),
         (args: Seq[Expression]) => UrlHost(args.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("url_keys"),
+        new ExpressionInfo(classOf[UrlKeys].getName, "url_keys"),
+        (args: Seq[Expression]) => UrlKeys(args.head)))
     ext.injectFunction(
       (FunctionIdentifier("topk_select"),
         new ExpressionInfo(classOf[graft.sched.TopKSelect].getName, "topk_select"),

@@ -19,13 +19,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingRun {
 
-  /** map-only tier: one wide codegen'd stage, zero exchanges. */
+  /** map-only tier: one wide codegen'd stage, zero exchanges — the SAME
+    * canonicalize+hash map work the full job starts with (fused url_keys,
+    * both fields consumed so nothing prunes away). */
   def mapOnlyJob(spark: SparkSession, n: Long): Long = {
     graft.Udfs.register(spark)
     val hosts = 5000
     spark.range(n).selectExpr(
-        s"xxhash64(canonicalize_url(concat('HTTP://Host', cast(id % $hosts as string), '.Example.COM:80/p/', cast(id as string), '?b=', cast(id % 7 as string), '&a=1#f'))) as h")
-      .selectExpr("count(1) as c", "bit_xor(h) as s").collect()
+        s"url_keys(concat('HTTP://Host', cast(id % $hosts as string), '.Example.COM:80/p/', cast(id as string), '?b=', cast(id % 7 as string), '&a=1#f')) as k")
+      .selectExpr("count(1) as c", "bit_xor(k.url_hash) as s", "bit_xor(k.host_hash) as t").collect()
     n
   }
 

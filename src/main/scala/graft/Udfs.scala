@@ -16,6 +16,9 @@ object Udfs {
   /** One follow candidate produced by extraction (SURVEY §2.9 P6). */
   final case class Follow(url: String, method: String, data: String, text: String)
 
+  /** Struct shape of the `url_keys` UDF fallback (native: [[graft.url.UrlKeys]]). */
+  final case class UrlKeyPair(url_hash: Long, host_hash: Long)
+
   /** Static page extraction -> follow candidates, already absolutized but NOT
     * yet canonicalized/filtered (same-domain filter F7 happens relationally). */
   def extractFollows(html: String, baseUrl: String): Array[Follow] = {
@@ -36,6 +39,14 @@ object Udfs {
       u.register("canonicalize_url", (s: String) => graft.url.UrlCanon.canonicalize(s))
     if (!spark.catalog.functionExists("url_host"))
       u.register("url_host", (s: String) => graft.url.UrlCanon.hostOf(s))
+    if (!spark.catalog.functionExists("url_keys"))
+      u.register("url_keys", (s: String) =>
+        if (s == null) null
+        else {
+          val r = graft.url.UrlCanon.urlKeysRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          UrlKeyPair(r.getLong(0), r.getLong(1))
+        })
     u.register("extract_text",
       (html: Array[Byte]) => Encoding.extractText(html, null))
     u.register("extract_text_ct",

@@ -362,18 +362,88 @@ object UrlCanon {
     sb.toString
   }
 
+  /** Per-thread canonical-byte scratch: the byte fast path writes the
+    * canonical form here and the caller either copies the exact-size result
+    * out (canonUTF8 — one allocation per row) or hashes it in place
+    * (urlKeysRow — ZERO per-row allocation beyond the returned row). At 32
+    * threads the map stage is memory-bandwidth-bound, so every byte not
+    * allocated is a byte not written+GC'd+re-read — this is the N->4N
+    * scaling diet, not a micro-optimization. */
+  private val tlScratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1024)
+  }
+  /** Packing limit for canonFastInto's (len, hostStart, hostEnd) result:
+    * three 21-bit fields. URLs >= 2 MiB take the general path. */
+  private val MaxFast = (1 << 21) - 1
+
+  private def scratchFor(n: Int): Array[Byte] = {
+    if (n > MaxFast) return null
+    var buf = tlScratch.get
+    if (buf.length < n) {
+      var cap = buf.length
+      while (cap < n) cap <<= 1
+      buf = new Array[Byte](cap)
+      tlScratch.set(buf)
+    }
+    buf
+  }
+
   /** UTF8String bridge for codegen (see [[CanonicalizeUrl]]): the fast path
     * runs DIRECTLY over the UTF-8 bytes — no String decode/encode round-trip,
-    * ~3 allocations per row. At 10^10 frontier rows the transcoding otherwise
+    * one allocation per row (the exact-size copy; the working buffer is
+    * per-thread scratch). At 10^10 frontier rows the transcoding otherwise
     * dominates (observed 5x CPU inflation at 32 threads from allocation
     * pressure). Falls back to the String-based general path on non-ASCII /
     * unusual shapes. */
   def canonUTF8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     if (u == null) return null
     val bytes = u.getBytes
-    val fast = canonFastBytes(bytes)
-    if (fast != null) org.apache.spark.unsafe.types.UTF8String.fromBytes(fast)
-    else org.apache.spark.unsafe.types.UTF8String.fromString(canonicalize(u.toString))
+    val out = scratchFor(bytes.length + 1)
+    if (out != null) {
+      val packed = canonFastInto(bytes, out)
+      if (packed >= 0)
+        return org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          java.util.Arrays.copyOf(out, (packed & MaxFast).toInt))
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(canonicalize(u.toString))
+  }
+
+  /** Fused crawl-identity keys (see [[UrlKeys]]): canonicalize into the
+    * per-thread scratch and hash in place — url_hash = xxhash64(canonical),
+    * host_hash = xxhash64(netloc of canonical) — with zero intermediate
+    * string materialization. Exactly equals
+    * `xxhash64(canonicalize_url(x))` / `xxhash64(url_host(canonicalize_url(x)))`
+    * (asserted bit-for-bit in UrlCanonSpec): the canonical bytes are hashed
+    * with Spark's XXH64, seed 42, the same function the built-in applies. */
+  def urlKeysRow(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (u == null) return null
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val bytes = u.getBytes
+    var urlHash = 0L
+    var hostHash = 0L
+    val out = scratchFor(bytes.length + 1)
+    var done = false
+    if (out != null) {
+      val packed = canonFastInto(bytes, out)
+      if (packed >= 0) {
+        val len = (packed & MaxFast).toInt
+        val hs = ((packed >> 21) & MaxFast).toInt
+        val he = ((packed >> 42) & MaxFast).toInt
+        urlHash = XXH64.hashUnsafeBytes(out, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        hostHash = XXH64.hashUnsafeBytes(out, Platform.BYTE_ARRAY_OFFSET + hs, he - hs, 42L)
+        done = true
+      }
+    }
+    if (!done) {
+      val canon = canonicalize(u.toString)
+      val cb = canon.getBytes(StandardCharsets.UTF_8)
+      urlHash = XXH64.hashUnsafeBytes(cb, Platform.BYTE_ARRAY_OFFSET, cb.length, 42L)
+      val hb = hostOf(canon).getBytes(StandardCharsets.UTF_8)
+      hostHash = XXH64.hashUnsafeBytes(hb, Platform.BYTE_ARRAY_OFFSET, hb.length, 42L)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](urlHash, hostHash))
   }
 
   @inline private def lowerB(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
@@ -389,20 +459,33 @@ object UrlCanon {
 
   /** Byte-level single-pass canonicalizer; null = fall back to general. */
   def canonFastBytes(b: Array[Byte]): Array[Byte] = {
+    val out = scratchFor(b.length + 1)
+    if (out == null) return null
+    val packed = canonFastInto(b, out)
+    if (packed < 0) null
+    else java.util.Arrays.copyOf(out, (packed & MaxFast).toInt)
+  }
+
+  /** Core of the byte fast path: canonicalize `b` into `out` (caller sizes
+    * it >= b.length + 1). Returns a packed Long —
+    * `len | netlocStart << 21 | netlocEnd << 42` (offsets into `out`; the
+    * netloc span is host[:non-default-port], what [[hostOf]] returns for the
+    * canonical form) — or -1 to fall back to the general String path. */
+  private def canonFastInto(b: Array[Byte], out: Array[Byte]): Long = {
     var start = 0
     var end = b.length
+    if (end > MaxFast) return -1L
     while (start < end && (b(start) & 0xff) <= ' ') start += 1
     while (end > start && (b(end - 1) & 0xff) <= ' ') end -= 1
-    if (end - start < 8) return null
+    if (end - start < 8) return -1L
     var i = start
     while (i < end && b(i) != ':') {
       val c = b(i) & 0xff
-      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return null
+      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return -1L
       i += 1
     }
-    if (i >= end - 2 || b(i + 1) != '/' || b(i + 2) != '/') return null
+    if (i >= end - 2 || b(i + 1) != '/' || b(i + 2) != '/') return -1L
     val schemeEnd = i
-    val out = new Array[Byte](end - start + 1)
     var o = 0
     var j = start
     while (j < schemeEnd) { out(o) = lowerB(b(j) & 0xff).toByte; o += 1; j += 1 }
@@ -412,11 +495,12 @@ object UrlCanon {
       else if (regionEq(b, start, schemeEnd, "ftp")) 21
       else -1
     out(o) = ':'; out(o + 1) = '/'; out(o + 2) = '/'; o += 3
+    val netS = o
     i = schemeEnd + 3
     val authStart = i
     while (i < end && { val c = b(i) & 0xff; c != '/' && c != '?' && c != '#' }) {
       val c = b(i) & 0xff
-      if (c == '@' || c == '[' || needsEncB(c)) return null
+      if (c == '@' || c == '[' || needsEncB(c)) return -1L
       i += 1
     }
     val authEnd = i
@@ -424,7 +508,7 @@ object UrlCanon {
     j = authEnd - 1
     while (j >= authStart && colon < 0) { if (b(j) == ':') colon = j; j -= 1 }
     val hostEnd = if (colon >= 0) colon else authEnd
-    if (hostEnd == authStart) return null
+    if (hostEnd == authStart) return -1L
     j = authStart
     while (j < hostEnd) { out(o) = lowerB(b(j) & 0xff).toByte; o += 1; j += 1 }
     if (colon >= 0 && colon + 1 < authEnd) {
@@ -432,9 +516,9 @@ object UrlCanon {
       j = colon + 1
       while (j < authEnd) {
         val c = b(j) & 0xff
-        if (c < '0' || c > '9') return null
+        if (c < '0' || c > '9') return -1L
         p = p * 10 + (c - '0')
-        if (p > 99999) return null
+        if (p > 99999) return -1L
         j += 1
       }
       if (p != defPort) {
@@ -444,12 +528,13 @@ object UrlCanon {
         while (x < ps.length) { out(o) = ps.charAt(x).toByte; o += 1; x += 1 }
       }
     }
+    val netE = o
     if (i >= end || b(i) != '/') { out(o) = '/'; o += 1 }
     var prev = ' '.toInt
     while (i < end && { val c = b(i) & 0xff; c != '?' && c != '#' }) {
       val c = b(i) & 0xff
-      if (needsEncB(c)) return null
-      if (c == '.' && prev == '/') return null
+      if (needsEncB(c)) return -1L
+      if (c == '.' && prev == '/') return -1L
       out(o) = c.toByte; o += 1
       prev = c
       i += 1
@@ -458,7 +543,7 @@ object UrlCanon {
       i += 1
       val qStart = i
       while (i < end && b(i) != '#') {
-        if (needsEncB(b(i) & 0xff)) return null
+        if (needsEncB(b(i) & 0xff)) return -1L
         i += 1
       }
       val qEnd = i
@@ -512,10 +597,43 @@ object UrlCanon {
         }
       }
     }
-    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    o.toLong | netS.toLong << 21 | netE.toLong << 42
   }
 
-  def hostUTF8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
-    if (u == null) null
-    else org.apache.spark.unsafe.types.UTF8String.fromString(hostOf(u.toString))
+  /** netloc bridge for codegen (see [[UrlHost]]). Byte fast path for the
+    * common canonical shape `scheme://host/...` — ASCII scheme, no
+    * userinfo/IPv6/explicit port — one lowercase copy of the host span, no
+    * parse object. Anything else (ports to normalize, userinfo to strip,
+    * IPv6 brackets, non-ASCII) falls back to the general parser. */
+  def hostUTF8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (u == null) return null
+    val b = u.getBytes
+    val n = b.length
+    var i = 0
+    var ok = n >= 4
+    while (ok && i < n && b(i) != ':') {
+      val c = b(i) & 0xff
+      ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      if (ok) i += 1
+    }
+    if (ok && i >= 1 && i + 2 < n && b(i) == ':' && b(i + 1) == '/' && b(i + 2) == '/') {
+      val hs = i + 3
+      var j = hs
+      var bad = false
+      var stop = false
+      while (j < n && !stop && !bad) {
+        val c = b(j) & 0xff
+        if (c == '/' || c == '?' || c == '#') stop = true
+        else if (c == '@' || c == '[' || c == ':' || needsEncB(c)) bad = true
+        else j += 1
+      }
+      if (!bad && j > hs) {
+        val outB = new Array[Byte](j - hs)
+        var k = hs
+        while (k < j) { outB(k - hs) = lowerB(b(k) & 0xff).toByte; k += 1 }
+        return org.apache.spark.unsafe.types.UTF8String.fromBytes(outB)
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(hostOf(u.toString))
+  }
 }

@@ -24,6 +24,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("url_keys equals composing the built-ins through the engine (codegen path)") {
+    // the fused expression hashes canonical bytes with XXH64 directly; this
+    // pins that to Spark's OWN xxhash64 over the same logical composition,
+    // through whole-stage codegen, including fallback (non-ASCII) shapes
+    val df = spark.sql(
+      """SELECT u, url_keys(u) AS k,
+         xxhash64(canonicalize_url(u)) AS eu,
+         xxhash64(url_host(canonicalize_url(u))) AS eh
+         FROM (SELECT concat('HTTP://Host', cast(id % 37 as string),
+                 '.Example.COM:80/p/', cast(id as string),
+                 if(id % 5 = 0, '/展示', ''), '?b=', cast(id % 7 as string), '&a=1#f') AS u
+               FROM range(2000))""")
+    val bad = df.where("k.url_hash <> eu OR k.host_hash <> eh").count()
+    assert(bad == 0)
+  }
+
+  test("bench dedup variants (join vs union-agg) select identical url sets") {
+    def sel(v: String): Set[Long] =
+      Bench.scheduleDedupPlan(spark, 200000L, 100000L, v)
+        .collect().map(_.getLong(0)).toSet
+    val j = sel("join")
+    val u = sel("unionagg")
+    assert(j.nonEmpty && j == u)
+  }
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 

@@ -102,6 +102,37 @@ class UrlCanonSpec extends AnyFunSuite {
     }
   }
 
+  test("url_keys fused hashes equal xxhash64(canonical) / xxhash64(netloc) bit-for-bit") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    def expected(u: String): (Long, Long) = {
+      val c = UrlCanon.canonicalize(u)
+      val cb = c.getBytes("UTF-8")
+      val hb = UrlCanon.hostOf(c).getBytes("UTF-8")
+      (XXH64.hashUnsafeBytes(cb, Platform.BYTE_ARRAY_OFFSET, cb.length, 42L),
+        XXH64.hashUnsafeBytes(hb, Platform.BYTE_ARRAY_OFFSET, hb.length, 42L))
+    }
+    val hot = (0 until 500).map(i =>
+      s"HTTP://Host${i % 50}.Example.COM:80/p/$i?b=${i % 7}&a=1#f")
+    val fallback = Seq("http://u@h.com/x", "http://h.com/a/../b", "http://h.com/展示",
+      "not a url", "http://[::1]:8080/x", "http://h.com:8080?z=1&y=2#f")
+    (allUrls ++ hot ++ fallback).foreach { u =>
+      val row = UrlCanon.urlKeysRow(UTF8String.fromString(u))
+      assert((row.getLong(0), row.getLong(1)) == expected(u), s"url_keys mismatch for $u")
+    }
+  }
+
+  test("hostUTF8 fast path equals hostOf on the sweep") {
+    import org.apache.spark.unsafe.types.UTF8String
+    (allUrls ++ Seq("http://u:p@H.com:8080/x", "http://[::1]:80/x", "HTTPS://A.B/",
+      "relative/path", "", " http://Pad.com/x ", "http://h.com:abc/x"))
+      .foreach { u =>
+        val viaBytes = UrlCanon.hostUTF8(UTF8String.fromString(u))
+        assert(viaBytes != null && viaBytes.toString == UrlCanon.hostOf(u), s"hostUTF8 mismatch for $u")
+      }
+  }
+
   private def canonViaBytes(u: String): String = {
     val r = UrlCanon.canonFastBytes(u.getBytes("UTF-8"))
     if (r == null) UrlCanon.canonGeneral(u) else new String(r, "UTF-8")
