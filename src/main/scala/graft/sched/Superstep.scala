@@ -267,28 +267,24 @@ object Superstep {
       when(retried === i, lit(d)).otherwise(acc)
     }
 
+  /** The scheduler's selection output: the politeness-selected task slice
+    * plus the budget intermediates `run` reuses for the post-fetch budget
+    * update (same `now` ⇒ same refill arithmetic on both sides). */
+  final case class Selection(selected: DataFrame, budgeted: DataFrame,
+      projRB: DataFrame)
+
   /**
-   * Execute one superstep.
-   *
-   * @param frontier  current frontier (frontierCols schema)
-   * @param budgets   politeness state: project, host, tokens, last_update
-   * @param pagesIdx  prepared page content (preparePages._1)
-   * @param robots    prepared robots table (preparePages._2)
-   * @param projects  project dimension: name, rate, burst (broadcast side)
-   * @param seen      optional bucketed seen-index probe (partition-local
-   *   blooms + pruned key reads): follows failing the probe are
-   *   definitely-new and skip the exact anti-join; survivors anti-join only
-   *   their buckets' key files instead of the whole frontier.
+   * W2 ready filter → A7 politeness budget → W1 ranked selection → W5 fair
+   * share, factored out of [[run]] so a live-fetch deployment can compute
+   * the selected slice BEFORE issuing any HTTP request: the token-bucket
+   * budget must bound real network traffic, not just post-hoc classify it
+   * (the reference fetches only what the scheduler dispatched,
+   * scheduler.py:328-346 → fetcher queue). Deterministic for a given
+   * (frontier, budgets, projects, now, cfg) — a caller that pre-computes the
+   * slice and then runs [[run]] sees the identical selection inside it.
    */
-  def run(spark: SparkSession, frontier: DataFrame, budgets: DataFrame,
-      pagesIdx: DataFrame, robots: DataFrame, projects: DataFrame,
-      now: Double, cfg: Config = Config(),
-      seen: Option[graft.frontier.SeenFilter] = None,
-      /** extra (project, url_hash) keys to treat as already-seen on top of
-        * the snapshot index — the streaming path passes THIS micro-batch's
-        * seed keys (merged into the frontier after the index was written);
-        * small by construction, applied as a broadcast overlay */
-      extraSeen: Option[DataFrame] = None): StepResult = {
+  def selectReady(spark: SparkSession, frontier: DataFrame, budgets: DataFrame,
+      projects: DataFrame, now: Double, cfg: Config = Config()): Selection = {
     import spark.implicits._
 
     // ---- W2: ready = exetime arrived (time queue folds into the filter).
@@ -372,6 +368,44 @@ object Superstep {
             .drop("prnk")
         }
     }
+    Selection(selected, budgeted, projRB)
+  }
+
+  /**
+   * Execute one superstep.
+   *
+   * @param frontier  current frontier (frontierCols schema)
+   * @param budgets   politeness state: project, host, tokens, last_update
+   * @param pagesIdx  prepared page content (preparePages._1)
+   * @param robots    prepared robots table (preparePages._2)
+   * @param projects  project dimension: name, rate, burst (broadcast side)
+   * @param seen      optional bucketed seen-index probe (partition-local
+   *   blooms + pruned key reads): follows failing the probe are
+   *   definitely-new and skip the exact anti-join; survivors anti-join only
+   *   their buckets' key files instead of the whole frontier.
+   */
+  def run(spark: SparkSession, frontier: DataFrame, budgets: DataFrame,
+      pagesIdx: DataFrame, robots: DataFrame, projects: DataFrame,
+      now: Double, cfg: Config = Config(),
+      seen: Option[graft.frontier.SeenFilter] = None,
+      /** extra (project, url_hash) keys to treat as already-seen on top of
+        * the snapshot index — the streaming path passes THIS micro-batch's
+        * seed keys (merged into the frontier after the index was written);
+        * small by construction, applied as a broadcast overlay */
+      extraSeen: Option[DataFrame] = None,
+      /** a pre-materialized [[selectReady]].selected for THIS (frontier,
+        * budgets, projects, now, cfg): the live crawler computes the slice
+        * first (it drives the network fetch) and hands it in so the
+        * superstep doesn't recompute the selection jobs — and so the rows
+        * fetched and the rows processed are the same object, not merely
+        * deterministically equal */
+      preselected: Option[DataFrame] = None): StepResult = {
+    import spark.implicits._
+
+    val sel = selectReady(spark, frontier, budgets, projects, now, cfg)
+    val selected = preselected.getOrElse(sel.selected)
+    val budgeted = sel.budgeted
+    val projRB = sel.projRB
 
     // ---- J2 fetch join + F9 robots gate (checked at fetch time, like the
     // reference: a robots denial consumes the token and fails the fetch)
@@ -395,8 +429,10 @@ object Superstep {
         else lit(true))
       // F10 fetch-type dispatch (tornado_fetcher.py:119-127): a data: URL
       // task needs no pages row and no robots check — its "fetch" is the
-      // url's own payload, always a fresh 200 (data_fetch, :176-198)
-      .withColumn("is_data_url", $"url".startsWith("data:"))
+      // url's own payload, always a fresh 200 (data_fetch, :176-198).
+      // Case-insensitive: opaque-scheme canonicalization keeps the url's
+      // original case, and RFC 3986 schemes are case-insensitive
+      .withColumn("is_data_url", lower(substring($"url", 1, 5)) === "data:")
       .withColumn("fetch_ok", $"is_data_url" || ($"html".isNotNull && $"robots_ok"))
       // conditional fetch (If-None-Match / If-Modified-Since): the task's
       // stored track headers matching the page's current headers is the

@@ -97,7 +97,10 @@ class LiveFetchSpec extends AnyFunSuite {
       def step(f: org.apache.spark.sql.DataFrame, now: Double) = {
         val ready = f.where($"status" === 1 && $"exetime" <= now)
         val (idx, robots) = Superstep.preparePages(spark, capture(ready))
-        Superstep.run(spark, f, Crawler.emptyBudgets(spark), idx, robots, projects, now)
+        // lineage cut, as in LiveCrawler: the capture subplan must not embed
+        // into every downstream superstep job
+        Superstep.run(spark, f, Crawler.emptyBudgets(spark),
+          idx.localCheckpoint(), robots.localCheckpoint(), projects, now)
       }
       val r1 = step(frontier, now0 + 1)
       frontier = r1.frontier.localCheckpoint(); r1.unpersistAll()
@@ -154,6 +157,11 @@ class LiveFetchSpec extends AnyFunSuite {
       assert(run.frontier.where($"url" === s"$base/next" && $"status" === 2).count() == 1)
       assert(run.frontier.where($"url" === s"$base/private" && $"status" === 1).count() == 1)
       assert(run.results.where($"url" === s"$base/start").count() == 1)
+      // COMPLIANCE: the robots-disallowed url was classified (retry ladder,
+      // asserted above) but the server never saw a GET for it — the cached
+      // rules pre-filter the live fetch, they don't just label it after
+      assert(!seen.toArray.exists(_.toString.startsWith("/private")),
+        s"robots-disallowed /private was GET-fetched: ${seen.toArray.mkString("; ")}")
 
       // TTL shorter than a tick: every step with ready hosts refetches
       seen.clear()
@@ -161,6 +169,99 @@ class LiveFetchSpec extends AnyFunSuite {
         Seq("p1" -> s"$base/start"), maxSteps = 2, robotsTtlSeconds = 0.5)
       assert(run2.robotsFetches == 2, s"expected a robots GET per step, got ${run2.robotsFetches}")
     } finally server.stop(0)
+  }
+
+  test("live 304 echoes the STORED validators: a weak-form server echo (W/\"v1\") must not break the not_modified compare") {
+    val (server, base, _) = fixtureServer()
+    // nginx-with-gzip behavior: 304 answers carry the WEAK form of the etag
+    server.createContext("/weak", (ex: HttpExchange) => {
+      val inm = ex.getRequestHeaders.getFirst("If-None-Match")
+      if (inm != null && inm.contains("w1")) {
+        ex.getResponseHeaders.set("ETag", "W/\"w1\"")
+        ex.sendResponseHeaders(304, -1); ex.close()
+      } else {
+        ex.getResponseHeaders.set("ETag", "\"w1\"")
+        val b = "<html><body>weak</body></html>".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    try {
+      val got = LiveFetch.fetchOne(s"$base/weak", "\"w1\"", null, 5000, 1 << 20, "graftbot/1.0")
+      assert(got.isDefined)
+      // the 304 status IS the proof of not-modified: the stored validator is
+      // echoed verbatim so the superstep's string-equality compare agrees —
+      // echoing the server's 'W/"w1"' would misclassify this as a 200 with
+      // an empty body (bogus empty result row + corrupted stored validators)
+      assert(got.get.etag == "\"w1\"", s"expected stored etag echoed, got ${got.get.etag}")
+      assert(got.get.html.isEmpty && got.get.http_status == 200)
+    } finally server.stop(0)
+  }
+
+  /** In-memory fetch backend: serves a url->page map, logs every request —
+    * for behaviors a plain-http fixture can't express (https robots). */
+  private def fakeFetch(pages: Map[String, Array[Byte]],
+      log: java.util.concurrent.ConcurrentLinkedQueue[String])(
+      s: org.apache.spark.sql.SparkSession,
+      urls: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val reqs = urls.select("url").as[String].collect()
+    reqs.foreach(log.add)
+    val ts0 = new java.sql.Timestamp(0L)
+    reqs.toSeq.flatMap(u => pages.get(u).map(b =>
+        (u, ts0, b, "", "en", 200, null: String, null: String, null: String)))
+      .toDF("url", "warc_ts", "html", "text", "lang", "http_status",
+        "location", "etag", "last_modified")
+  }
+
+  test("LiveCrawler: robots.txt requested over the task's own scheme — an https-only host gets an https probe, not a doomed http one") {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pages = Map(
+      "https://secure.example/robots.txt" ->
+        "User-agent: *\nDisallow: /private\n".getBytes("UTF-8"),
+      "https://secure.example/start" ->
+        """<html><body><a href="/leaf">l</a> <a href="/private">p</a></body></html>"""
+          .getBytes("UTF-8"),
+      "https://secure.example/leaf" -> "<html><body>leaf</body></html>".getBytes("UTF-8"))
+    val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+    val run = graft.fetch.LiveCrawler.run(spark, projects,
+      Seq("p1" -> "https://secure.example/start"), maxSteps = 3,
+      fetch = fakeFetch(pages, log))
+    val reqs = log.toArray.map(_.toString).toSeq
+    assert(reqs.contains("https://secure.example/robots.txt"),
+      s"robots not requested over https: $reqs")
+    assert(!reqs.exists(_.startsWith("http://")), s"http:// request issued: $reqs")
+    // the https rules were applied: /private never requested, /leaf crawled
+    assert(!reqs.contains("https://secure.example/private"), s"disallowed GET issued: $reqs")
+    assert(run.frontier.where($"url" === "https://secure.example/leaf" && $"status" === 2)
+      .count() == 1)
+  }
+
+  test("LiveCrawler: STOP-ed projects and drained resumes don't burn supersteps (RUNNING gate + initial done-check)") {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stopped = Seq(("p1", 1000.0, 1000.0, "STOP")).toDF("name", "rate", "burst", "status")
+    // parked ACTIVE tasks of a STOP-ed project: zero supersteps, zero GETs
+    val run = graft.fetch.LiveCrawler.run(spark, stopped,
+      Seq("p1" -> "http://stopped.example/start"), maxSteps = 5,
+      fetch = fakeFetch(Map.empty, log))
+    assert(run.steps == 0, s"STOP-ed project burned ${run.steps} supersteps")
+    assert(log.isEmpty, s"STOP-ed project issued GETs: ${log.toArray.mkString("; ")}")
+
+    // resuming an already-drained store: no spurious superstep, no snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-live-drained")
+    val store = new graft.frontier.FrontierStore(root.toString, 4,
+      seenBuckets = 8, bloomItemsPerBucket = 4096)
+    val pages = Map(
+      "http://one.example/robots.txt" -> "User-agent: *\nAllow: /\n".getBytes("UTF-8"),
+      "http://one.example/only" -> "<html><body>fin</body></html>".getBytes("UTF-8"))
+    val running = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+    val r1 = graft.fetch.LiveCrawler.run(spark, running,
+      Seq("p1" -> "http://one.example/only"), maxSteps = 5,
+      fetch = fakeFetch(pages, log), store = Some(store))
+    assert(r1.steps >= 1 && store.currentId.isDefined)
+    val snapAfter = store.currentId.get
+    val r2 = graft.fetch.LiveCrawler.run(spark, running, Seq.empty, maxSteps = 5,
+      fetch = fakeFetch(pages, log), store = Some(store))
+    assert(r2.steps == r1.steps, s"drained resume ran ${r2.steps - r1.steps} extra steps")
+    assert(store.currentId.get == snapAfter, "drained resume committed a spurious snapshot")
   }
 
   test("LiveCrawler + FrontierStore: live crawl commits snapshots and resumes from a kill") {
