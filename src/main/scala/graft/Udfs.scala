@@ -142,6 +142,17 @@ object Udfs {
         sys.env.getOrElse("SPARK_GRAFT_RUNTIME_BLOOM", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // Spark 4 per-session artifact isolation installs an ExecutorClassLoader
+      // that probes the driver's RPC file server for EVERY class Janino
+      // resolves while compiling generated code ON THE EXECUTORS — observed
+      // via jstack as FileDownloadChannel reads ending in ClassNotFound on
+      // each whole-stage-codegen compile. This engine adds no session
+      // artifacts (no addArtifact/REPL classes), so in local mode the
+      // isolation layer is pure per-compile RPC overhead; disabling it cuts
+      // the fixed cost of every first-seen plan (each superstep compiles
+      // fresh plans — the crawl loop pays this dozens of times per run).
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
     // free-form conf passthrough (semicolon-separated k=v) — lets bench
     // experiments A/B a shuffle codec / memory-mode setting without a
     // rebuild; empty by default so driver runs are untouched
