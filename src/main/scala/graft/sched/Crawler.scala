@@ -76,7 +76,8 @@ object Crawler {
         lit(-1.0).as("age"), lit(null).cast("string").as("itag"),
         lit(true).as("force_update"), lit(false).as("auto_recrawl"),
         lit(false).as("cancel"), $"url".as("seed_url"), lit("link").as("method"),
-        lit("").as("data"), lit(0.0).as("lastcrawltime"), lit(now).as("updatetime"),
+        lit("").as("data"), lit(0.0).as("lastcrawltime"),
+        RuntimeConst.stepConst(now).as("updatetime"),
         lit(null).cast("string").as("etag"), lit(null).cast("string").as("last_modified"))
       // in-config dedup of seed lists
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window

@@ -234,7 +234,7 @@ object Superstep {
     val isNew = $"status".isNull
     val restart =
       ($"i_itag".isNotNull && !($"i_itag" <=> $"itag")) ||
-        ($"i_age" >= 0 && $"lastcrawltime" + $"i_age" < now) ||
+        ($"i_age" >= 0 && $"lastcrawltime" + $"i_age" < RuntimeConst.stepConst(now)) ||
         $"i_force_update"
     // cancel fires whenever the restart predicate fired AND cancel is set
     // (scheduler.py:287-292 checks cancel inside on_old_request's restart
@@ -253,7 +253,7 @@ object Superstep {
       // task still sends If-None-Match from its last successful fetch)
       case "etag" | "last_modified" => col(c)
       case "updatetime" =>
-        when(isNew || ($"i_url".isNotNull && restart), lit(now)).otherwise($"updatetime")
+        when(isNew || ($"i_url".isNotNull && restart), RuntimeConst.stepConst(now)).otherwise($"updatetime")
       case "project" | "url_hash" => col(c)
       case other =>
         // schedule/payload columns: replaced on new or restart, kept otherwise
@@ -298,7 +298,7 @@ object Superstep {
           .select($"name".as("project"))
       else projects.select($"name".as("project"))
     val ready = frontier
-      .where($"status" === TaskStatus.Active && $"exetime" <= now)
+      .where($"status" === TaskStatus.Active && $"exetime" <= RuntimeConst.stepConst(now))
       .join(broadcast(runningProjects), Seq("project"), "left_semi")
 
     // ---- A7: politeness budgets per (project, host) — token bucket carried
@@ -316,7 +316,7 @@ object Superstep {
       .join(projRB, Seq("project"), "left_outer")
       .withColumn("tokens_avail",
         least(coalesce($"p_burst", lit(cfg.defaultBurst)),
-          $"tokens" + coalesce($"p_rate", lit(cfg.defaultRate)) * (lit(now) - $"last_update")))
+          $"tokens" + coalesce($"p_rate", lit(cfg.defaultRate)) * (RuntimeConst.stepConst(now) - $"last_update")))
       .select($"project", $"host", $"tokens_avail")
 
     // ---- W1 (+W5): ranked selection under the budget
@@ -505,7 +505,7 @@ object Superstep {
         lit(false).as("force_update"), lit(false).as("auto_recrawl"),
         lit(false).as("cancel"), $"m.parent_url".as("seed_url"),
         $"m.method".as("method"), $"m.data".as("data"),
-        lit(0.0).as("lastcrawltime"), lit(now).as("updatetime"),
+        lit(0.0).as("lastcrawltime"), RuntimeConst.stepConst(now).as("updatetime"),
         lit(null).cast("string").as("etag"), lit(null).cast("string").as("last_modified"),
         $"dups")
 
@@ -584,8 +584,8 @@ object Superstep {
           .otherwise(when($"delay" < 0, lit(TaskStatus.Failed)).otherwise(lit(TaskStatus.Active))))
       .withColumn("new_exetime",
         when($"fetch_ok",
-          when($"auto_recrawl" && $"age" >= 0, lit(now) + $"age").otherwise($"exetime"))
-          .otherwise(when($"delay" < 0, $"exetime").otherwise(lit(now) + $"delay")))
+          when($"auto_recrawl" && $"age" >= 0, RuntimeConst.stepConst(now) + $"age").otherwise($"exetime"))
+          .otherwise(when($"delay" < 0, $"exetime").otherwise(RuntimeConst.stepConst(now) + $"delay")))
       .withColumn("new_retried",
         when($"fetch_ok" || $"delay" < 0, $"retried").otherwise($"retried" + 1))
       // track headers refresh on every successful fetch (latest response
@@ -595,7 +595,8 @@ object Superstep {
     val updates = statusCalc
       .select($"project", $"url_hash",
         $"new_status", $"new_exetime", $"new_retried",
-        lit(now).as("new_lastcrawltime"), lit(now).as("new_updatetime"),
+        RuntimeConst.stepConst(now).as("new_lastcrawltime"),
+        RuntimeConst.stepConst(now).as("new_updatetime"),
         $"new_etag", $"new_lm", $"fetch_ok")
     // full post-update rows for the selected batch — the copy-on-write
     // store upserts these directly, so the snapshot write touches only the
@@ -605,7 +606,8 @@ object Superstep {
       $"new_status".as("status"), $"priority", $"new_exetime".as("exetime"),
       $"retries", $"new_retried".as("retried"), $"age", $"itag",
       $"force_update", $"auto_recrawl", $"cancel", $"seed_url", $"method",
-      $"data", lit(now).as("lastcrawltime"), lit(now).as("updatetime"),
+      $"data", RuntimeConst.stepConst(now).as("lastcrawltime"),
+      RuntimeConst.stepConst(now).as("updatetime"),
       $"new_etag".as("etag"), $"new_lm".as("last_modified"))
 
     // ---- frontier merge: apply updates, append fresh
@@ -641,7 +643,7 @@ object Superstep {
       .join(projRB, Seq("project"), "left_outer")
       .select($"project", $"host",
         (coalesce($"tokens_avail", $"p_burst", lit(cfg.defaultBurst)) - $"consumed").as("tokens"),
-        lit(now).as("last_update"))
+        RuntimeConst.stepConst(now).as("last_update"))
     val nextBudgets = budgets.join(touched.select($"project", $"host"),
         Seq("project", "host"), "left_anti")
       .unionByName(touched)
@@ -659,7 +661,7 @@ object Superstep {
         $"method".as("type"),
         when(length($"data") > 0, str_to_map($"data", lit("&"), lit("=")))
           .otherwise(map().cast("map<string,string>")).as("data"),
-        $"seed_url", lit(now).as("updatetime"))
+        $"seed_url", RuntimeConst.stepConst(now).as("updatetime"))
 
     // ---- A3: per-project counters for this superstep. ONE aggregation per
     // source frame, unioned and re-aggregated — not N aggs + (N-1)
