@@ -288,6 +288,25 @@ object Bench {
         } catch { case _: Throwable => }
         releaseAll(spark, gc = true)
       }
+      // ---- superstep fixed cost: a near-empty graph's steps are ~pure
+      // per-step overhead (analysis/AQE planning + codegen + scheduling) —
+      // the constant every crawl's step wall converges to as data -> 0,
+      // and the cost the store bench pays per snapshot on top of IO.
+      // step_first_sec includes the one-time Janino compile of the
+      // superstep's generated classes; step_fixed_sec is the steady state
+      // after RuntimeConst makes later steps' codegen cache-hit.
+      try {
+        import spark.implicits._
+        val tinyCfg = PageGen.Config(nHosts = 2, pagesPerHost = 10, hotHosts = 0, fanout = 3)
+        val tinyPages = PageGen.pages(spark, tinyCfg).toDF().localCheckpoint()
+        val tinyProjects = Seq(("tiny", 1e9, 1e9)).toDF("name", "rate", "burst")
+        val run = Crawler.run(spark, tinyPages, tinyProjects,
+          Seq("tiny" -> "http://host0.example.com/page/1"),
+          Crawler.CrawlConfig(maxSteps = 3))
+        if (crawlJson != "null" && run.stepSeconds.size >= 2)
+          crawlJson = crawlJson.dropRight(1) +
+            f""","step_first_sec":${run.stepSeconds.head}%.2f,"step_fixed_sec":${run.stepSeconds.drop(1).min}%.2f}"""
+      } catch { case e: Throwable => System.err.println(s"[bench] fixed-cost probe died: $e") }
     } catch { case e: Throwable => System.err.println(s"[bench] crawl section died: $e") }
     releaseAll(spark, gc = true)
 
