@@ -145,6 +145,15 @@ object Bench {
     System.out.flush()
   }
 
+  /** Append `,<fields>` inside a JSON object string. The splice contract —
+    * the target ends with '}' — is asserted, not assumed: a silent dropRight
+    * on anything else would emit malformed JSON that only fails at the
+    * driver's parse (ADVICE r04). */
+  private def spliceJson(json: String, fields: String): String = {
+    require(json.endsWith("}"), s"spliceJson target must end with '}': ...${json.takeRight(40)}")
+    json.dropRight(1) + "," + fields + "}"
+  }
+
   /** Drop every cached/persisted dataset (incl. localCheckpoints) between
     * sections so one section's working set can't OOM the next. */
   private def releaseAll(spark: SparkSession, gc: Boolean = false): Unit = {
@@ -277,8 +286,8 @@ object Bench {
           // splice into the crawl object (strip any previous store_* keys
           // from an earlier round first)
           val baseJson = crawlJson.replaceAll(""","store_urls_per_sec":[^}]*""", "")
-          crawlJson = baseJson.dropRight(1) +
-            f""","store_urls_per_sec":${rate}%.0f,"store_sec":${sec}%.2f,"store_step_sec":${st._4.map(x => f"$x%.2f").mkString("[", ",", "]")},"store_snapshots":${st._4.size}}"""
+          crawlJson = spliceJson(baseJson,
+            f""""store_urls_per_sec":${rate}%.0f,"store_sec":${sec}%.2f,"store_step_sec":${st._4.map(x => f"$x%.2f").mkString("[", ",", "]")},"store_snapshots":${st._4.size}""")
         }
         // temp store cleanup (snapshots can reach hundreds of MB)
         try {
@@ -304,8 +313,8 @@ object Bench {
           Seq("tiny" -> "http://host0.example.com/page/1"),
           Crawler.CrawlConfig(maxSteps = 3))
         if (crawlJson != "null" && run.stepSeconds.size >= 2)
-          crawlJson = crawlJson.dropRight(1) +
-            f""","step_first_sec":${run.stepSeconds.head}%.2f,"step_fixed_sec":${run.stepSeconds.drop(1).min}%.2f}"""
+          crawlJson = spliceJson(crawlJson,
+            f""""step_first_sec":${run.stepSeconds.head}%.2f,"step_fixed_sec":${run.stepSeconds.drop(1).min}%.2f""")
       } catch { case e: Throwable => System.err.println(s"[bench] fixed-cost probe died: $e") }
     } catch { case e: Throwable => System.err.println(s"[bench] crawl section died: $e") }
     releaseAll(spark, gc = true)
@@ -385,8 +394,8 @@ object Bench {
           if (m8 > 0 && m32 > 0 && s8 > 0 && s32 > 0) {
             val effM = (m32 / m8) / 4.0
             val effS = (s32 / s8) / 4.0
-            scalingJson = scalingJson.dropRight(1) +
-              f""","maponly_8":${m8}%.0f,"maponly_32":${m32}%.0f,"efficiency_maponly":${effM}%.3f,"spin_8":${s8}%.0f,"spin_32":${s32}%.0f,"efficiency_hw_ceiling":${effS}%.3f,"efficiency_vs_hw":${math.min(1.0, eff / effS)}%.3f,"efficiency_vs_maponly":${math.min(1.0, eff / effM)}%.3f}"""
+            scalingJson = spliceJson(scalingJson,
+              f""""maponly_8":${m8}%.0f,"maponly_32":${m32}%.0f,"efficiency_maponly":${effM}%.3f,"spin_8":${s8}%.0f,"spin_32":${s32}%.0f,"efficiency_hw_ceiling":${effS}%.3f,"efficiency_vs_hw":${math.min(1.0, eff / effS)}%.3f,"efficiency_vs_maponly":${math.min(1.0, eff / effM)}%.3f""")
           }
         }
       }

@@ -47,8 +47,8 @@ object SparkEntry {
   // would invalidate any cached DataFrame/localCheckpoint.
   private type RowsAndSchema = (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)
   private val c1Memo =
-    new java.util.concurrent.ConcurrentHashMap[Int, (RowsAndSchema, RowsAndSchema)]()
-  private def c1SharedCrawl(s: SparkSession): (RowsAndSchema, RowsAndSchema) =
+    new java.util.concurrent.ConcurrentHashMap[Int, (RowsAndSchema, RowsAndSchema, RowsAndSchema)]()
+  private def c1SharedCrawl(s: SparkSession): (RowsAndSchema, RowsAndSchema, RowsAndSchema) =
     c1Memo.computeIfAbsent(System.identityHashCode(s), _ => {
       Udfs.register(s)
       import s.implicits._
@@ -60,11 +60,16 @@ object SparkEntry {
         graft.sched.Crawler.CrawlConfig(maxSteps = 3))
       val f = run.frontier.selectExpr("project", "url", "status", "retried").orderBy("url")
       val r = run.results.selectExpr("project", "url", "type").orderBy("url")
-      ((f.collect().toSeq, f.schema), (r.collect().toSeq, r.schema))
+      // the FULL frontier rows too (every column): x13 diffs a re-executed
+      // identical crawl against these — byte-level determinism evidence
+      val ff = run.frontier.select(graft.sched.Superstep.frontierCols.map(col): _*).orderBy("url")
+      ((f.collect().toSeq, f.schema), (r.collect().toSeq, r.schema),
+        (ff.collect().toSeq, ff.schema))
     })
 
-  // ---- c3/c7/w3 share ONE store-backed crawl (1 superstep + two RESUMES,
-  // with kill debris injected at the first restart boundary): c3 grades the
+  // ---- c3/c7/w3 share ONE store-backed crawl (1 superstep + one RESUME
+  // covering steps 2-3, with kill debris injected at the restart boundary):
+  // c3 grades the
   // final frontier (identical to a straight 3-step run by the resume
   // contract — which this therefore also oracle-checks), c7 grades the
   // cumulative counter totals across the restarts, and w3 grades the
@@ -106,9 +111,11 @@ object SparkEntry {
       java.nio.file.Files.writeString(
         debrisOrphan.resolve("manifest.json"), """{"format":999,"snapshot":3,TRUNC""")
       // resume from snapshot 2 (VERSION still points at it): the crawl
-      // continues exactly, and counters ACCUMULATE across the restart
-      Crawler.run(s, pages, projects, Seq.empty,
-        Crawler.CrawlConfig(maxSteps = 2), Some(store))
+      // continues exactly — steps 2 AND 3 in one resumed run (one restart
+      // boundary carries the whole kill-debris + counter-accumulation
+      // oracle; a second restart re-proved nothing and cost a full
+      // Crawler.run startup per Verify/Bench pass, verdict r04 item 6) —
+      // and counters ACCUMULATE across the restart
       Crawler.run(s, pages, projects, Seq.empty,
         Crawler.CrawlConfig(maxSteps = 3), Some(store))
       val snap = store.read(s).get
@@ -384,7 +391,8 @@ object SparkEntry {
         "concat('http://h.test/', id) as seed_url", "'link' as method", "'' as data",
         s"cast(${now - 100} as double) as lastcrawltime",
         s"cast(${now - 100} as double) as updatetime",
-        "cast(null as string) as etag", "cast(null as string) as last_modified")
+        "cast(null as string) as etag", "cast(null as string) as last_modified",
+        "(status = 2) as crawled_ok")
       val incoming = ids.where("id % 5 != 0")
         .selectExpr("id", "case when id % 5 = 4 then id + 1000000 else id end as kid")
         .selectExpr(
@@ -397,7 +405,8 @@ object SparkEntry {
           "concat('http://h.test/', kid) as seed_url", "'link' as method", "'' as data",
           "cast(0.0 as double) as lastcrawltime",
           s"cast($now as double) as updatetime",
-          "cast(null as string) as etag", "cast(null as string) as last_modified")
+          "cast(null as string) as etag", "cast(null as string) as last_modified",
+          "false as crawled_ok")
       graft.sched.Superstep.mergeIncoming(frontier, incoming, now)
         .selectExpr("url_hash", "status", "updatetime")
         .orderBy("url_hash")
@@ -794,7 +803,7 @@ object SparkEntry {
       // canonical url IS the row identity (url_hash = xxhash64(url)); the
       // oracle recomputes the whole 3-superstep BFS from the closed-form
       // PageGen graph, so the output keeps to oracle-checkable columns
-      val (f, _) = c1SharedCrawl(s)
+      val (f, _, _) = c1SharedCrawl(s)
       s.createDataFrame(new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(f._1).asJava), f._2)
     }),
@@ -814,7 +823,7 @@ object SparkEntry {
       // the crawl's result sink (S6/F8/P8): one row per successful fetch —
       // the OTHER output of the same 3-superstep run c1 grades, so the
       // crawl executes once per session (verdict r03 item 7)
-      val (_, r) = c1SharedCrawl(s)
+      val (_, r, _) = c1SharedCrawl(s)
       s.createDataFrame(new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(r._1).asJava), r._2)
     }),
@@ -1119,6 +1128,71 @@ object SparkEntry {
       val run = graft.fetch.LiveCrawler.run(s, projects,
         Seq("p1" -> "http://host0.example.com/page/1"), maxSteps = 3, fetch = fetch)
       run.frontier.selectExpr("project", "url", "status", "retried").orderBy("url")
+    }),
+
+    "x13_determinism" -> ((s, dir) => {
+      // X13 deterministic time (SURVEY §7.0-4): the SAME 3-superstep crawl
+      // executed TWICE in one session must produce byte-identical frontiers
+      // — every column, not just the graded projection: the virtual clock
+      // (now = now0 + step*tick via RuntimeConst), hash-ordered tie-breaks,
+      // and deterministic in-batch merge leave nothing to wall time, thread
+      // scheduling, or partition order. Execution 1 is the memoized c1
+      // shared crawl; this query re-runs an independent identical crawl and
+      // returns the SYMMETRIC DIFFERENCE of the two full frontiers —
+      // oracled as the empty set.
+      Udfs.register(s)
+      import s.implicits._
+      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
+      val pages = PageGen.pages(s, cfg).toDF()
+      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+      val rerun = graft.sched.Crawler.run(s, pages, projects,
+        Seq("p1" -> "http://host0.example.com/page/1"),
+        graft.sched.Crawler.CrawlConfig(maxSteps = 3))
+      val f2 = rerun.frontier.select(graft.sched.Superstep.frontierCols.map(col): _*)
+      val (_, _, ffMemo) = c1SharedCrawl(s)
+      val f1 = s.createDataFrame(new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(ffMemo._1).asJava), ffMemo._2)
+      f1.exceptAll(f2).unionByName(f2.exceptAll(f1)).orderBy("url")
+    }),
+
+    "p7_status_pack" -> ((s, dir) => {
+      // P7 status pack (scheduler.py:561-635 task status fields after each
+      // attempt): the per-step (status, retried, exetime) trajectory of the
+      // FULL retry ladder walked end to end — w7 grades the per-attempt
+      // delay arithmetic in isolation; this grades the packed task rows the
+      // superstep actually emits, step by step, through retried=1,2,3 and
+      // the terminal FAILED flip (retried == retries exhausts), alongside
+      // first-attempt successes. 4 missing + 2 captured urls; tick=43200
+      // covers every ladder delay (30, 3600, 21600) so each step re-selects
+      // the still-ACTIVE failures exactly once.
+      Udfs.register(s)
+      import s.implicits._
+      val html = "<html><body>ok, no links</body></html>".getBytes("UTF-8")
+      val ts = new java.sql.Timestamp(0L)
+      val pages = (0 until 2).map(i => (s"http://h0.test/ok/$i", ts, html, "", "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      val seeds = ((0 until 4).map(i => ("p1", s"http://h0.test/miss/$i")) ++
+        (0 until 2).map(i => ("p1", s"http://h0.test/ok/$i"))).toDF("project", "raw_url")
+      val frontier0 = Crawler.seedFrontierDf(s, seeds, 0.0)
+      val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      val cfg = graft.sched.Superstep.Config(respectRobots = false)
+      val tick = 43200.0
+      var frontier = frontier0
+      var budgets = Crawler.emptyBudgets(s)
+      val perStep = (1 to 4).map { step =>
+        val r = graft.sched.Superstep.run(s, frontier, budgets, idx, robots,
+          projects, step * tick, cfg)
+        // the packed post-attempt rows of THIS step's selected batch
+        val packed = r.upserts
+          .select(lit(step).as("step"), $"url", $"status", $"retried", $"exetime")
+          .localCheckpoint()
+        frontier = r.frontier.localCheckpoint()
+        budgets = r.budgets.localCheckpoint()
+        r.unpersistAll()
+        packed
+      }
+      perStep.reduce(_ unionByName _).orderBy("step", "url")
     })
   )
 
@@ -1824,7 +1898,43 @@ CROSS JOIN (SELECT unnest(range(0, 10)) AS i) ORDER BY project, url""",
   UNION ALL
   SELECT 'http://h0.test/missing/' || CAST(i AS VARCHAR), 1, FALSE
     FROM (SELECT unnest(range(0, 5)) AS i)
-) ORDER BY url"""
+) ORDER BY url""",
+      // x13: determinism — the symmetric difference of two executions of
+      // the identical 3-superstep crawl is the EMPTY relation, stated with
+      // the frontier's full column set so the hash gate covers every field
+      "x13_determinism" ->
+        """SELECT CAST(NULL AS VARCHAR) AS project, CAST(NULL AS BIGINT) AS url_hash,
+ CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS host,
+ CAST(NULL AS INT) AS status, CAST(NULL AS INT) AS priority,
+ CAST(NULL AS DOUBLE) AS exetime, CAST(NULL AS INT) AS retries,
+ CAST(NULL AS INT) AS retried, CAST(NULL AS DOUBLE) AS age,
+ CAST(NULL AS VARCHAR) AS itag, CAST(NULL AS BOOLEAN) AS force_update,
+ CAST(NULL AS BOOLEAN) AS auto_recrawl, CAST(NULL AS BOOLEAN) AS cancel,
+ CAST(NULL AS VARCHAR) AS seed_url, CAST(NULL AS VARCHAR) AS method,
+ CAST(NULL AS VARCHAR) AS data, CAST(NULL AS DOUBLE) AS lastcrawltime,
+ CAST(NULL AS DOUBLE) AS updatetime, CAST(NULL AS VARCHAR) AS etag,
+ CAST(NULL AS VARCHAR) AS last_modified, CAST(NULL AS BOOLEAN) AS crawled_ok
+WHERE FALSE""",
+      // p7: the packed per-attempt (status, retried, exetime) trajectory,
+      // closed form. Missing urls walk the ladder: attempt at step s lands
+      // exetime = 43200*s + delay0(retried_before) for s<=3 (delays 30,
+      // 3600, 21600), then step 4 exhausts retries (retried == 3) -> FAILED
+      // with exetime unchanged; captured urls succeed at step 1 with their
+      // seed exetime 0 and are never re-selected
+      "p7_status_pack" ->
+        """WITH mi(i) AS (VALUES (0),(1),(2),(3)), okx(i) AS (VALUES (0),(1)),
+ms(s) AS (VALUES (1),(2),(3),(4)),
+miss AS (SELECT s, 'http://h0.test/miss/' || CAST(i AS VARCHAR) AS url,
+  CAST(CASE WHEN s = 4 THEN 3 ELSE 1 END AS INT) AS status,
+  CAST(CASE WHEN s >= 3 THEN 3 ELSE s END AS INT) AS retried,
+  CAST(CASE s WHEN 1 THEN 43230.0 WHEN 2 THEN 90000.0 ELSE 151200.0 END AS DOUBLE) AS exetime
+  FROM ms, mi),
+oks AS (SELECT 1 AS s, 'http://h0.test/ok/' || CAST(i AS VARCHAR) AS url,
+  CAST(2 AS INT) AS status, CAST(0 AS INT) AS retried,
+  CAST(0.0 AS DOUBLE) AS exetime FROM okx)
+SELECT CAST(s AS INT) AS step, url, status, retried, exetime FROM miss
+UNION ALL SELECT CAST(s AS INT) AS step, url, status, retried, exetime FROM oks
+ORDER BY step, url"""
     )
   }
 }

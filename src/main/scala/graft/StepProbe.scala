@@ -64,8 +64,7 @@ object StepProbe {
         projects, now, stepCfg, None)
       val wMid = System.nanoTime() // Superstep.run returns after counters collect
       val (jMid, tMid) = clock.snap()
-      val newResultsDelta = r.newResults.join(results.select("project", "url_hash"),
-        Seq("project", "url_hash"), "left_anti")
+      val newResultsDelta = r.firstResults
       frontier = r.frontier.localCheckpoint()
       budgets = r.budgets.localCheckpoint()
       results = results.unionByName(newResultsDelta).localCheckpoint()

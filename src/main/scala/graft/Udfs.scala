@@ -151,6 +151,10 @@ object Udfs {
       // isolation layer is pure per-compile RPC overhead; disabling it cuts
       // the fixed cost of every first-seen plan (each superstep compiles
       // fresh plans — the crawl loop pays this dozens of times per run).
+      // LOCAL SESSIONS ONLY: on a real multi-tenant cluster, per-session
+      // artifact isolation is a correctness/hygiene boundary between
+      // sessions sharing executors — re-evaluate before copying this
+      // default into any shared-cluster deployment (env-overridable here).
       .config("spark.sql.artifact.isolation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
     // free-form conf passthrough (semicolon-separated k=v) — lets bench

@@ -64,6 +64,10 @@ object LiveFetch {
         // The 304 status itself is the proof of not-modified; string
         // equality downstream must be made to agree with it, not re-derive
         // it. html is non-null (empty) so the fetch is OK.
+        // Documented trade-off (RFC 7232 §4.1 says a 304 SHOULD carry the
+        // CURRENT validators): a server that legitimately rotates its ETag
+        // on a 304 keeps being sent the old one — worst case one unnecessary
+        // full 200 refetch later, never incorrect data.
         Some(Fetched(url, ts, Array.emptyByteArray, "", "", 200, null,
           if (storedEtag != null) storedEtag
           else Option(conn.getHeaderField("ETag")).orNull,

@@ -496,8 +496,10 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
 
 object FrontierStore {
   /** Bumped whenever the snapshot/manifest layout changes — a mismatched
-    * store fails fast with a descriptive error instead of a regex NPE. */
-  val FormatVersion = 3
+    * store fails fast with a descriptive error instead of a regex NPE.
+    * v4: frontier rows carry `crawled_ok` (first-writer-wins result dedup
+    * without an O(history) anti-join). */
+  val FormatVersion = 4
 
   /** Fold one per-project counter Row's Long fields into running totals —
     * ONE implementation shared by the store's persisted manifest totals and

@@ -56,7 +56,11 @@ final case class Task(
     /** conditional-fetch track headers from the last successful fetch
       * (tornado_fetcher.py:257-276 If-None-Match / If-Modified-Since) */
     etag: String = null,
-    last_modified: String = null
+    last_modified: String = null,
+    /** sticky success history: true once the task has ever fetched OK — the
+      * first-writer-wins result-dedup predicate (REPLACE INTO semantics,
+      * resultdb.py:52-66, without an O(history) anti-join per superstep) */
+    crawled_ok: Boolean = false
 )
 
 object Task {

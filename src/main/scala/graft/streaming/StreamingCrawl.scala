@@ -49,7 +49,6 @@ object StreamingCrawl {
         var frontier = snap.map(_.frontier)
           .getOrElse(Crawler.seedFrontier(spark, Seq.empty, now0))
         val budgets = snap.map(_.budgets).getOrElse(Crawler.emptyBudgets(spark))
-        val results = snap.map(_.results).getOrElse(Crawler.emptyResults(spark))
 
         // merge newly arrived seeds with full on_request semantics (J1/F5/F6:
         // unknown -> insert; known + force_update/itag/age -> restart). The
@@ -84,8 +83,9 @@ object StreamingCrawl {
         // frontier key set per micro-batch
         val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
           projects, now, cfg, store.seenFilter(spark), extraSeen)
-        val newResultsDelta = r.newResults.join(results.select(keys.map(functions.col): _*),
-          keys, "left_anti")
+        // first-writer-wins delta from each task's crawled_ok history —
+        // O(batch), no anti-join against the snapshot's cumulative results
+        val newResultsDelta = r.firstResults
         // superstep upserts win over seed upserts when the same task was
         // both merged and selected this tick
         val upserts = r.upserts.unionByName(

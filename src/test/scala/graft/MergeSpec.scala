@@ -21,11 +21,11 @@ class MergeSpec extends AnyFunSuite {
       age: Double = -1.0, cancel: Boolean = false, lct: Double = 0.0) =
     ("p1", h, s"http://h.test/$h", "h.test", status, 0, 0.0, 3, 0, age, itag,
       fu, false, cancel, s"http://h.test/$h", "link", "", lct, 1700000000.0,
-      null: String, null: String)
+      null: String, null: String, status == TaskStatus.Success)
 
   private def df(rows: Seq[(String, Long, String, String, Int, Int, Double, Int, Int,
       Double, String, Boolean, Boolean, Boolean, String, String, String, Double, Double,
-      String, String)]): DataFrame =
+      String, String, Boolean)]): DataFrame =
     rows.toDF(Superstep.frontierCols: _*)
 
   private def statusOf(f: DataFrame, h: Long): Int =
