@@ -37,17 +37,28 @@ object Bench {
 
   /** The metric job's plan, variant-selectable ("unionagg" | "join") so the
     * two physical strategies stay A/B-able and their result equivalence
-    * stays a test (QueriesSpec). */
+    * stays a test (QueriesSpec). `hotHostShare` > 0 makes host 0 hold that
+    * fraction of the rows (pathological hot-domain skew, north_rule) —
+    * the skew bench's input; 0 = the uniform metric job. */
   def scheduleDedupPlan(spark: SparkSession, n: Long, m: Long,
-      variant: String): org.apache.spark.sql.DataFrame = {
+      variant: String, hotHostShare: Double = 0.0): org.apache.spark.sql.DataFrame = {
     Udfs.register(spark)
     val hosts = 5000
     // ~4x duplicate discovery per URL (a crawl's follow stream is heavily
     // duplicated — that is what the W4 in-batch merge exists for)
     val distinctPaths = math.max(n / 4, 1)
+    // skewed mode: every id with (id mod round(1/share)) == 0 lands on
+    // host 0 — at share 0.5 that is every even id, one host owning half
+    // the frontier slice
+    val hostExpr =
+      if (hotHostShare <= 0.0) s"cast(id % $hosts as string)"
+      else {
+        val everyK = math.max(2L, math.round(1.0 / hotHostShare))
+        s"cast(case when id % $everyK = 0 then 0 else id % $hosts end as string)"
+      }
     val newTasks = spark.range(n).selectExpr(
       s"id",
-      s"concat('HTTP://Host', cast(id % $hosts as string), '.Example.COM:80/p/', cast(id % $distinctPaths as string), '?b=', cast(id % 7 as string), '&a=1#f') as raw_url",
+      s"concat('HTTP://Host', $hostExpr, '.Example.COM:80/p/', cast(id % $distinctPaths as string), '?b=', cast(id % 7 as string), '&a=1#f') as raw_url",
       s"cast(id % 4 as int) as priority")
     val seen = spark.range(m).selectExpr(
       s"xxhash64(concat('http://host', cast(id % $hosts as string), '.example.com/p/', cast(id % $distinctPaths as string), '?a=1&b=', cast(id % 7 as string))) as url_hash")
@@ -118,12 +129,15 @@ object Bench {
   @volatile private var totalSec = 0.0
   @volatile private var crawlJson = "null"
   @volatile private var scalingJson = "null"
+  @volatile private var scalingStoreJson = "null"
+  @volatile private var storeLifeJson = "null"
+  @volatile private var skewJson = "null"
   @volatile private var sfDirState = ""
   private val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def emitJson(): Unit = if (printed.compareAndSet(false, true)) {
     val json =
-      f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDirState","crawl":$crawlJson,"scaling":$scalingJson}"""
+      f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDirState","crawl":$crawlJson,"scaling":$scalingJson,"scaling_store":$scalingStoreJson,"store_life":$storeLifeJson,"scaling_skew":$skewJson}"""
     // belt-and-braces for the driver's parser (rounds 1+2 both ended with
     // parsed:null because sbt's logger wrapped the line): (1) the JSON to a
     // well-known file in the working directory (= the repo root when run
@@ -140,7 +154,7 @@ object Bench {
     def g(src: String, key: String): String =
       ("\"" + key + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(src).map(_.group(1)).getOrElse("null")
     val headline =
-      f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","sf":"$sfDirState","n_queries":${queriesJson.count(_ == ':')},"crawl":{"urls_per_sec":${g(crawlJson, "urls_per_sec")},"store_urls_per_sec":${g(crawlJson, "store_urls_per_sec")},"calib_spin_per_sec":${g(crawlJson, "calib_spin_per_sec")},"calib_maponly_per_sec":${g(crawlJson, "calib_maponly_per_sec")}},"scaling":{"efficiency_8_to_32":${g(scalingJson, "efficiency_8_to_32")},"efficiency_vs_maponly":${g(scalingJson, "efficiency_vs_maponly")},"efficiency_hw_ceiling":${g(scalingJson, "efficiency_hw_ceiling")},"urls_per_sec_local32":${g(scalingJson, "urls_per_sec_local32")}},"full":"BENCH_LAST.json"}"""
+      f"""{"metric":"total","value":${totalSec}%.3f,"unit":"sec","sf":"$sfDirState","n_queries":${queriesJson.count(_ == ':')},"crawl":{"urls_per_sec":${g(crawlJson, "urls_per_sec")},"store_urls_per_sec":${g(crawlJson, "store_urls_per_sec")},"calib_spin_per_sec":${g(crawlJson, "calib_spin_per_sec")},"calib_maponly_per_sec":${g(crawlJson, "calib_maponly_per_sec")}},"scaling":{"efficiency_8_to_32":${g(scalingJson, "efficiency_8_to_32")},"efficiency_vs_maponly":${g(scalingJson, "efficiency_vs_maponly")},"efficiency_hw_ceiling":${g(scalingJson, "efficiency_hw_ceiling")},"urls_per_sec_local32":${g(scalingJson, "urls_per_sec_local32")}},"scaling_store":{"efficiency_8_to_32":${g(scalingStoreJson, "efficiency_8_to_32")},"urls_per_sec_local32":${g(scalingStoreJson, "urls_per_sec_local32")}},"store_life":{"compaction_sec":${g(storeLifeJson, "compaction_sec")},"post_compact_median_sec":${g(storeLifeJson, "post_compact_median_sec")}},"scaling_skew":{"max_ratio":${g(skewJson, "max_ratio")}},"full":"BENCH_LAST.json"}"""
     println(headline)
     System.out.flush()
   }
@@ -181,8 +195,8 @@ object Bench {
     val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     sfDirState = sfDir
     // section gating (debug/bisect aid): e.g. SPARK_GRAFT_SECTIONS=crawl
-    val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS", "queries,crawl,scaling")
-      .split(",").toSet
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS",
+      "queries,crawl,scaling,scalestore,storelife,skew").split(",").toSet
     Runtime.getRuntime.addShutdownHook(new Thread(() => emitJson()))
 
     val spark = Udfs.newSession(s"local[$cpus]", cpus, "graft-bench")
@@ -322,10 +336,9 @@ object Bench {
     // ---- scaling evidence: same job, two parallelism levels, each in a
     // FRESH forked JVM (shared-heap/JIT state otherwise biases whichever
     // level runs second — observed ±30% swings in-process)
-    if (doScaling && sections("scaling")) try {
-      // shuffle bytes + per-stage table of the most recent forked run
-      var lastShW = -1L; var lastShR = -1L; var lastStages = "null"
-      def runForked(p: Int, job: String = "full"): Double = {
+    // shuffle bytes + per-stage table of the most recent forked run
+    var lastShW = -1L; var lastShR = -1L; var lastStages = "null"
+    def runForked(p: Int, job: String = "full", reps: Int = scaleReps): Double = {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val opens = Seq(
           "java.base/java.lang", "java.base/java.lang.invoke",
@@ -345,7 +358,7 @@ object Bench {
           "-cp", System.getProperty("java.class.path"),
           "graft.ScalingRun", p.toString,
           (if (job == "spin") sys.env.getOrElse("SPARK_GRAFT_SPIN_N", "100000000000") else scaleN.toString),
-          scaleReps.toString, job)
+          reps.toString, job)
         val out = new StringBuilder
         val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
         val rdr = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
@@ -363,6 +376,7 @@ object Bench {
         m.map(_.group(1).toDouble)
           .getOrElse { System.err.println(s"[bench] scaling at $p failed:\n$out"); -1.0 }
       }
+    if (doScaling && sections("scaling")) try {
       // the sandbox VM shows time-varying CPU steal/throttle: alternate the
       // two levels and keep the best rate per level, so a throttled window
       // doesn't land entirely on one side of the ratio
@@ -400,6 +414,126 @@ object Bench {
         }
       }
     } catch { case e: Throwable => System.err.println(s"[bench] scaling section died: $e") }
+
+    // ---- store-path scaling: the N->4N pair on the DEPLOYMENT path itself
+    // (store-backed crawl through FrontierStore), forked JVMs like the
+    // kernel pair above (verdict r04 item 3). One alternating round by
+    // default — the store crawl is minutes at local[8]; raise
+    // SPARK_GRAFT_STORE_SCALE_ROUNDS for best-of sampling in a fair window.
+    if (doScaling && sections("scalestore")) try {
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE_ROUNDS", "1").toInt
+      var r8 = -1.0; var r32 = -1.0
+      (1 to rounds).foreach { _ =>
+        val a = runForked(8, "store", reps = 1)
+        if (a > r8) r8 = a
+        val b = runForked(32, "store", reps = 1)
+        if (b > r32) r32 = b
+      }
+      if (r8 > 0 && r32 > 0) {
+        val eff = (r32 / r8) / 4.0
+        val hosts = sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE_HOSTS", "8000")
+        val pph = sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE_PPH", "60")
+        val nSeeds = sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE_SEEDS", "4000")
+        val steps = sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE_STEPS", "4")
+        scalingStoreJson =
+          f"""{"job":"store_crawl","hosts":$hosts,"pages_per_host":$pph,"seeds":$nSeeds,"steps":$steps,"urls_per_sec_local8":${r8}%.0f,"urls_per_sec_local32":${r32}%.0f,"efficiency_8_to_32":${eff}%.3f}"""
+      }
+    } catch { case e: Throwable => System.err.println(s"[bench] store-scaling section died: $e") }
+    releaseAll(spark, gc = true)
+
+    // ---- store lifecycle under load: a politeness-limited long crawl whose
+    // snapshot chain CROSSES a compaction boundary (compactEvery=32) — the
+    // store's only O(frontier) operation — plus the GC that follows it.
+    // Reports the full step-time series, the compaction step's wall, and the
+    // snapshot-dir count after GC (verdict r04 item 4: compaction's
+    // amortized cost is the store's real steady-state price).
+    if (sections("storelife")) try {
+      import spark.implicits._
+      val lifeSteps = sys.env.getOrElse("SPARK_GRAFT_LIFE_STEPS", "42").toInt
+      val cfg = PageGen.Config(nHosts = 50, pagesPerHost = 400, hotHosts = 2,
+        hotFactor = 3, fanout = 6)
+      val pages = PageGen.pages(spark, cfg).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      pages.count()
+      // rate 4/s, burst 4, tick 1s: each host schedules <=4 urls per step —
+      // the frontier outlives the window (400 pages/host vs ~4*steps
+      // fetched), so every step commits real work
+      val projects = Seq(("life", 4.0, 4.0)).toDF("name", "rate", "burst")
+      val seeds = (0 until cfg.nHosts).map(h => "life" -> s"http://host$h.example.com/page/1")
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-life")
+      val store = new graft.frontier.FrontierStore(dir.toString, 32,
+        seenBuckets = 32, bloomItemsPerBucket = 1 << 20)
+      val run = Crawler.run(spark, pages, projects, seeds,
+        Crawler.CrawlConfig(maxSteps = lifeSteps), Some(store))
+      pages.unpersist()
+      // bootstrap snapshot = id 1 at step 0; compaction at id 33 = step 32
+      val compactStep = 32
+      val stepSecs = run.stepSeconds
+      val snapDirs = {
+        val ls = java.nio.file.Files.list(dir)
+        try ls.filter(p => p.getFileName.toString.startsWith("snap-")).count()
+        finally ls.close()
+      }
+      def median(xs: Seq[Double]): Double =
+        if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+      val pre = stepSecs.take(compactStep - 1)
+      val post = stepSecs.drop(compactStep)
+      val urls = run.totalScheduled + run.totalFresh
+      storeLifeJson =
+        f"""{"steps":${run.steps},"urls":$urls,"compact_step":$compactStep,"compaction_sec":${stepSecs.lift(compactStep - 1).getOrElse(-1.0)}%.2f,"pre_compact_median_sec":${median(pre)}%.2f,"post_compact_median_sec":${median(post)}%.2f,"snap_dirs_after_gc":$snapDirs,"snaps_committed":${run.steps + 1},"step_sec":${stepSecs.map(x => f"$x%.2f").mkString("[", ",", "]")}}"""
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    } catch { case e: Throwable => System.err.println(s"[bench] storelife section died: $e") }
+    releaseAll(spark, gc = true)
+
+    // ---- hot-host skew: the schedule+dedup kernel over a PATHOLOGICAL
+    // frontier (ONE host holds ~50% of the rows — north_rule names
+    // hot-domain skew) with per-task time balance recorded per stage. The
+    // design claim under test: selection is a partial-aggregable bounded
+    // heap (map-side combine caps any host's reduce-side group at k rows
+    // per map partition) and dedup keys by url_hash (uniform by
+    // construction) — so NO stage's max/median task time should blow up
+    // (target < 3, verdict r04 item 5).
+    if (sections("skew")) try {
+      val n = sys.env.getOrElse("SPARK_GRAFT_SKEW_N", "8000000").toLong
+      final case class TaskRec(stage: Int, ms: Long)
+      val recs = new java.util.concurrent.ConcurrentLinkedQueue[TaskRec]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo != null && e.taskInfo.successful)
+            recs.add(TaskRec(e.stageId, e.taskInfo.duration))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (_, sec) = time {
+        scheduleDedupPlan(spark, n, n / 2,
+          sys.env.getOrElse("SPARK_GRAFT_DEDUP_VARIANT", "unionagg"),
+          hotHostShare = 0.5).count()
+      }
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, java.lang.Long.valueOf(10000L))
+      } catch { case _: Throwable => Thread.sleep(500) }
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val byStage = recs.asScala.toSeq.groupBy(_.stage).toSeq.sortBy(_._1)
+      // only stages with enough tasks for a meaningful ratio; a 1-task AQE
+      // final stage has ratio 1 by definition
+      val stages = byStage.collect { case (sid, rs) if rs.size >= 8 =>
+        val ds = rs.map(_.ms.toDouble).sorted
+        val med = math.max(1.0, ds(ds.size / 2))
+        (sid, rs.size, ds.last, med, ds.last / med)
+      }
+      val maxRatio = if (stages.isEmpty) -1.0 else stages.map(_._5).max
+      val stagesJson = stages.map { case (sid, nT, mx, md, r) =>
+        f"""{"id":$sid,"tasks":$nT,"max_ms":${mx}%.0f,"median_ms":${md}%.0f,"ratio":${r}%.2f}"""
+      }.mkString("[", ",", "]")
+      skewJson =
+        f"""{"job":"schedule_dedup_skewed","n_urls":$n,"hot_share":0.5,"sec":${sec}%.2f,"max_ratio":${maxRatio}%.2f,"stages":$stagesJson}"""
+    } catch { case e: Throwable => System.err.println(s"[bench] skew section died: $e") }
 
     emitJson()
     spark.stop()

@@ -45,7 +45,7 @@ object LiveCrawler {
         * bootstrap/commit/resume protocol as [[Crawler.run]], so a killed
         * live crawl resumes from the last committed snapshot and the J1
         * seen-probe runs against the bucketed bloom index */
-      store: Option[graft.frontier.FrontierStore] = None): LiveRun = {
+      store: Option[graft.frontier.SnapshotStore] = None): LiveRun = {
     import spark.implicits._
 
     store.foreach { s =>

@@ -51,14 +51,9 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
       * ACTIVE set has drained to zero — the reference deletes a FINISHED
       * project's taskdb (scheduler.py:348-374 delete_project); without this
       * dead projects accumulate in the frontier forever at 100x scale. */
-    dropDrainedOnCompact: Boolean = true) {
+    dropDrainedOnCompact: Boolean = true) extends SnapshotStore {
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root)
-
-  final case class Snapshot(id: Long, step: Int, now: Double,
-      frontier: DataFrame, budgets: DataFrame, results: DataFrame,
-      /** cumulative per-project counter totals across all committed steps */
-      counterTotals: Map[String, Map[String, Long]] = Map.empty)
 
   private def snapDir(id: Long): Path = root.resolve(f"snap-$id%06d")
 
@@ -146,9 +141,9 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
   private def emptyFrontier(spark: SparkSession): DataFrame =
     graft.sched.Crawler.seedFrontier(spark, Seq.empty, 0.0)
 
-  def read(spark: SparkSession): Option[Snapshot] = currentId.map { id =>
+  def read(spark: SparkSession): Option[StoreSnapshot] = currentId.map { id =>
     val mf = parseManifest(id)
-    Snapshot(id, mf.step, mf.now, frontierView(spark, mf),
+    StoreSnapshot(id, mf.step, mf.now, frontierView(spark, mf),
       spark.read.parquet(snapDir(id).resolve("budgets").toString),
       resultsView(spark, mf), mf.counterTotals)
   }

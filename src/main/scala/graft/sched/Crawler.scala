@@ -3,7 +3,7 @@ package graft.sched
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.frontier.FrontierStore
+import graft.frontier.{FrontierStore, SnapshotStore}
 import graft.model.TaskStatus
 
 /**
@@ -106,7 +106,7 @@ object Crawler {
    */
   def run(spark: SparkSession, pages: DataFrame, projects: DataFrame,
       seeds: Seq[(String, String)], cfg: CrawlConfig,
-      store: Option[FrontierStore] = None): CrawlRun = {
+      store: Option[SnapshotStore] = None): CrawlRun = {
 
     val (pagesIdx, robots) = Superstep.preparePages(spark, pages)
     pagesIdx.persist(cfg.pagesStorage)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.frontier.FrontierStore
+import graft.frontier.{FrontierStore, SnapshotStore}
 import graft.sched.{Crawler, Superstep}
 
 /**
@@ -29,7 +29,7 @@ object StreamingCrawl {
    * @param tickSeconds deterministic virtual-clock advance per micro-batch
    */
   def start(spark: SparkSession, pages: DataFrame, projects: DataFrame,
-      store: FrontierStore, seedStream: DataFrame,
+      store: SnapshotStore, seedStream: DataFrame,
       cfg: Superstep.Config = Superstep.Config(),
       now0: Double = 1700000000.0, tickSeconds: Double = 1.0,
       trigger: Trigger = Trigger.ProcessingTime(0L),
