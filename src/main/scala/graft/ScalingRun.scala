@@ -33,7 +33,7 @@ object ScalingRun {
       seeds: Seq[(String, String)], steps: Int): (Long, Double) = {
     import spark.implicits._
     val projects = Seq(("bench", 1e9, 1e9)).toDF("name", "rate", "burst")
-    val dir = java.nio.file.Files.createTempDirectory("graft-scale-store")
+    val dir = graft.Udfs.scratchDir("graft-scale-store")
     val store = new graft.frontier.FrontierStore(dir.toString, 32,
       seenBuckets = 32, bloomItemsPerBucket = 1 << 20)
     val t0 = System.nanoTime()
@@ -41,6 +41,12 @@ object ScalingRun {
       graft.sched.Crawler.CrawlConfig(maxSteps = steps), Some(store))
     val sec = (System.nanoTime() - t0) / 1e9
     val urls = run.totalScheduled + run.totalFresh
+    // decomposition line on STDOUT (Bench lifts it into scaling_store as
+    // steps_<p>): which steps carry the wall, and how much is the
+    // parallelism-independent floor — near-identical step walls at p=8 and
+    // p=32 attribute the residue to the shared driver, not executor work
+    println("STORE_STEPS " +
+      run.stepSeconds.map(x => f"$x%.2f").mkString("[", ",", "]"))
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -89,7 +95,13 @@ object ScalingRun {
       return
     }
     val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
-    val s = Udfs.newSession(s"local[$p]", p * mult, s"graft-scaling-$p")
+    // a real N-vs-4N comparison holds the JOB configuration fixed and varies
+    // only the compute: shuffle partitioning is part of the job, so the
+    // store pair pins it (default 32) at both levels instead of tying it to
+    // the thread count
+    val shuf = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse(if (job == "store") 32 else p * mult)
+    val s = Udfs.newSession(s"local[$p]", shuf, s"graft-scaling-$p")
     s.sparkContext.setLogLevel("ERROR")
     // per-stage record: the "which stage stopped scaling" evidence the
     // artifact carries at BOTH parallelism levels (wall/cpu/run/gc/shuffle

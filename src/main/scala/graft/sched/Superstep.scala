@@ -739,8 +739,12 @@ object Superstep {
     // ONE action materializes every persisted intermediate and yields all
     // step totals (instead of separate count() jobs per metric).
     val counterRows = countersDf.collect()
+    // LocalRelation, not parallelize(...,1): every downstream consumer of
+    // the counters frame (store manifest fold, bench step accounting)
+    // collects it again — a LocalRelation collect is driver-only planning,
+    // a parallelized RDD collect is a real 1-task job per step
     val counters = spark.createDataFrame(
-      spark.sparkContext.parallelize(counterRows.toIndexedSeq, 1), countersDf.schema)
+      java.util.Arrays.asList(counterRows: _*), countersDf.schema)
     val scheduledCnt = counterRows.map(_.getAs[Long]("scheduled")).sum
     val freshCnt = counterRows.map(_.getAs[Long]("new_tasks")).sum
     val doneCnt = counterRows.map(_.getAs[Long]("done_success")).sum
