@@ -339,6 +339,25 @@ object Bench {
         if (crawlJson != "null" && run.stepSeconds.size >= 2)
           crawlJson = spliceJson(crawlJson,
             f""""step_first_sec":${run.stepSeconds.head}%.2f,"step_fixed_sec":${run.stepSeconds.drop(1).min}%.2f""")
+        // the same near-empty probe THROUGH the store: per-step floor of the
+        // deployment path (planning + commit protocol + read-backs as
+        // data -> 0) — the parallelism-independent constant that explains
+        // scaling_store's near-identical step walls at local[8] and
+        // local[32] (divide it out of step_sec_* to see the executor slice)
+        val dir2 = Udfs.scratchDir("graft-bench-storefloor")
+        val store2 = new graft.frontier.FrontierStore(dir2.toString, 32,
+          seenBuckets = 32, bloomItemsPerBucket = 1 << 20)
+        val run2 = Crawler.run(spark, tinyPages, tinyProjects,
+          Seq("tiny" -> "http://host1.example.com/page/1"),
+          Crawler.CrawlConfig(maxSteps = 3), Some(store2))
+        if (crawlJson != "null" && run2.stepSeconds.size >= 2)
+          crawlJson = spliceJson(crawlJson,
+            f""""store_step_fixed_sec":${run2.stepSeconds.drop(1).min}%.2f""")
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir2).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => }
       } catch { case e: Throwable => System.err.println(s"[bench] fixed-cost probe died: $e") }
     } catch { case e: Throwable => System.err.println(s"[bench] crawl section died: $e") }
     releaseAll(spark, gc = true)
