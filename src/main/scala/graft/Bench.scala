@@ -235,9 +235,19 @@ object Bench {
         // queries and keep the best (documented best-of methodology, same
         // as the scaling section). Sub-second queries don't need it, and
         // the 8s+ multi-superstep crawl oracles would double the section
-        // wall for marginal precision — they run once
-        val sec = if (sec1 > 1.0 && sec1 <= 8.0) { releaseAll(spark); math.min(sec1, once()) }
-          else sec1
+        // wall for marginal precision — they run once. EXCEPT on a stall
+        // signature: no legitimate query reads >20 s in a fair window (the
+        // slowest, c6, is ~17 s), but minute-scale VM stalls hit one
+        // arbitrary query per run for 2-27x (r4: w2 at 179 s; r5: x13 at
+        // 27.9 s then w2 at 28.2 s) — one re-measure stops a single stall
+        // from owning the reported wall. Queries whose first invocation
+        // PAYS a memoized crawl are excluded: their re-run would read the
+        // memo (~0 s) and under-report the crawl's true cost
+        val memoBacked = Set("c1_crawl_frontier", "c3_crawl_store", "c6_streaming_crawl")
+        val sec = if ((sec1 > 1.0 && sec1 <= 8.0) ||
+            (sec1 > 20.0 && !memoBacked(name))) {
+          releaseAll(spark); math.min(sec1, once())
+        } else sec1
         results += (name -> sec)
         queriesJson = results.map { case (k, v) => "\"" + k + f"\":${v}%.3f" }.mkString("{", ",", "}")
         totalSec = results.map(_._2).filter(_ >= 0).sum

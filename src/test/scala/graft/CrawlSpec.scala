@@ -508,6 +508,39 @@ class CrawlSpec extends AnyFunSuite {
     assert(run.results.count() > 0)
   }
 
+  test("restart re-fetch re-EMITS (newResults) but never re-INSERTS (firstResults): crawled_ok survives on_old_request") {
+    // A force_update restart re-crawls a SUCCESS task: on_result fires again
+    // (newResults row), but the result SINK is first-writer-wins keyed by
+    // (project, url_hash) — crawled_ok must survive the mergeIncoming
+    // restart so the re-fetch adds nothing to firstResults (otherwise the
+    // loops would append a duplicate key to the results table).
+    import org.apache.spark.sql.functions._
+    val html = "<html><body>r</body></html>".getBytes("UTF-8")
+    val pages = Seq(("http://h0.test/p/0", new java.sql.Timestamp(0L), html, "", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val (idx, rb) = Superstep.preparePages(spark, pages)
+    val projects = projectsDf(1e9, 1e9)
+    val cfg = Superstep.Config(respectRobots = false)
+    val f0 = Crawler.seedFrontier(spark, Seq("p1" -> "http://h0.test/p/0"), now0)
+    val r1 = Superstep.run(spark, f0, Crawler.emptyBudgets(spark), idx, rb,
+      projects, now0 + 1, cfg)
+    assert(r1.newResults.count() == 1 && r1.firstResults.count() == 1)
+    val f1 = r1.frontier.localCheckpoint(); r1.unpersistAll()
+    assert(f1.where($"crawled_ok").count() == 1)
+    // on_request restart: force_update re-activates the SUCCESS task
+    val incoming = Crawler.seedFrontier(spark, Seq("p1" -> "http://h0.test/p/0"), now0 + 2)
+      .withColumn("force_update", lit(true))
+    val f2 = Superstep.mergeIncoming(f1, incoming, now0 + 2).localCheckpoint()
+    val restarted = f2.collect().head
+    assert(restarted.getAs[Int]("status") == TaskStatus.Active)
+    assert(restarted.getAs[Boolean]("crawled_ok"), "success history must survive the restart")
+    val r2 = Superstep.run(spark, f2, Crawler.emptyBudgets(spark), idx, rb,
+      projects, now0 + 3, cfg)
+    assert(r2.newResults.count() == 1, "the re-fetch re-emits on_result")
+    assert(r2.firstResults.count() == 0, "the sink delta must NOT re-insert the key")
+    r2.unpersistAll()
+  }
+
   test("conditional fetch: matching ETag is a 304 — no re-extract, no result; changed ETag re-extracts") {
     val html = """<html><body><a href="/next">n</a></body></html>""".getBytes("UTF-8")
     def pagesTagged(tag: String) = Seq(
