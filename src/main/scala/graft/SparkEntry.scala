@@ -46,10 +46,47 @@ object SparkEntry {
   // and immune to the bench's releaseAll/unpersist between queries, which
   // would invalidate any cached DataFrame/localCheckpoint.
   private type RowsAndSchema = (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)
+
+  /** Run `f` with the session tuned for a FIXTURE-SIZED crawl (tens of
+    * rows, 1-4 supersteps): AQE off + one shuffle partition. At this scale
+    * every AQE exchange materializes as its own stage-job (~40-50 ms of
+    * driver planning/scheduling each; a superstep has ~20 exchanges =
+    * ~1-2 s of pure fixed cost per step — measured with StepProbe), while
+    * AQE's actual benefits (partition coalescing, skew splitting, join
+    * re-planning) need data volumes these oracle fixtures never reach.
+    * Guide §1.2: size the configuration to the data. Production-scale paths
+    * (the bench crawl at 10^5 pages, sf0.1 table queries, the scaling
+    * kernels) keep AQE on — this is data-size-dependent, not
+    * core-count-dependent tuning. Results are partitioning-independent by
+    * design (all orderings/tie-breaks deterministic — x13 oracles that),
+    * and every wrapped query stays oracle-checked. Conf is restored in a
+    * finally: the bench runs all queries in one session. Only EAGER work
+    * inside `f` (crawl supersteps, checkpoints, collects) sees the tuned
+    * conf — a lazily-returned DataFrame evaluates under the restored conf,
+    * which only touches the tiny post-crawl projection. */
+  private def withFixtureConf[A](s: SparkSession)(f: => A): A = {
+    if (sys.env.getOrElse("SPARK_GRAFT_FIXTURE_CONF", "1") == "0") return f
+    val conf = s.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" ->
+        sys.env.getOrElse("SPARK_GRAFT_FIXTURE_AQE", "true"),
+      "spark.sql.shuffle.partitions" -> "1",
+      "spark.sql.leafNodeDefaultParallelism" -> "1") ++
+      sys.env.get("SPARK_GRAFT_FIXTURE_EXTRA").toSeq
+        .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+    val prev = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
   private val c1Memo =
     new java.util.concurrent.ConcurrentHashMap[Int, (RowsAndSchema, RowsAndSchema, RowsAndSchema)]()
   private def c1SharedCrawl(s: SparkSession): (RowsAndSchema, RowsAndSchema, RowsAndSchema) =
-    c1Memo.computeIfAbsent(System.identityHashCode(s), _ => {
+    c1Memo.computeIfAbsent(System.identityHashCode(s), _ => withFixtureConf(s) {
       Udfs.register(s)
       import s.implicits._
       val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
@@ -81,7 +118,7 @@ object SparkEntry {
     Int, (RowsAndSchema, Map[String, Long], Seq[(Long, Int, Long)])]()
   private def c3SharedStoreCrawl(
       s: SparkSession): (RowsAndSchema, Map[String, Long], Seq[(Long, Int, Long)]) =
-    c3Memo.computeIfAbsent(System.identityHashCode(s), _ => {
+    c3Memo.computeIfAbsent(System.identityHashCode(s), _ => withFixtureConf(s) {
       Udfs.register(s)
       import s.implicits._
       val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
@@ -841,7 +878,7 @@ object SparkEntry {
         .SeqHasAsJava(r._1).asJava), r._2)
     }),
 
-    "c2_conditional_fetch" -> ((s, dir) => {
+    "c2_conditional_fetch" -> ((s, dir) => withFixtureConf(s) {
       // conditional fetch (tornado_fetcher.py:257-276) with RFC 7232
       // validator precedence: when both sides carry an ETag, If-None-Match
       // alone decides (a mismatch full-fetches even if Last-Modified still
@@ -884,7 +921,7 @@ object SparkEntry {
         .orderBy("url")
     }),
 
-    "c5_politeness_schedule" -> ((s, dir) => {
+    "c5_politeness_schedule" -> ((s, dir) => withFixtureConf(s) {
       // politeness-constrained crawl (task_queue.py:192-207 +
       // token_bucket.py:15-57 semantics): W1 ranked selection + A7 token
       // budgets + W5-free config, INSIDE the multi-superstep loop — c1/c3
@@ -915,8 +952,9 @@ object SparkEntry {
       (1 to 3).foreach { step =>
         val r = graft.sched.Superstep.run(s, frontier, budgets, idx, robots,
           projects, step.toDouble, cfg)
-        frontier = r.frontier.localCheckpoint()
-        budgets = r.budgets.localCheckpoint()
+        val (f2, b2, _) = Crawler.checkpointCarry(r.frontier, r.budgets,
+          Crawler.emptyResults(s))
+        frontier = f2; budgets = b2
         r.unpersistAll()
       }
       frontier.selectExpr("project", "url", "status",
@@ -924,7 +962,7 @@ object SparkEntry {
         .orderBy("project", "url")
     }),
 
-    "w2_time_release" -> ((s, dir) => {
+    "w2_time_release" -> ((s, dir) => withFixtureConf(s) {
       // W2 time-queue semantics (task_queue.py:117-140): a task becomes
       // schedulable only once its exetime arrives. 6 urls with exetime = i
       // over 3 supersteps at now = 1,2,3 (unlimited budget): i<=1 fetch at
@@ -948,8 +986,9 @@ object SparkEntry {
       (1 to 3).foreach { step =>
         val r = graft.sched.Superstep.run(s, frontier, budgets, idx, robots,
           projects, step.toDouble, cfg)
-        frontier = r.frontier.localCheckpoint()
-        budgets = r.budgets.localCheckpoint()
+        val (f2, b2, _) = Crawler.checkpointCarry(r.frontier, r.budgets,
+          Crawler.emptyResults(s))
+        frontier = f2; budgets = b2
         r.unpersistAll()
       }
       frontier.selectExpr("project", "url", "status",
@@ -957,7 +996,7 @@ object SparkEntry {
         .orderBy("url")
     }),
 
-    "f2_task_verify" -> ((s, dir) => {
+    "f2_task_verify" -> ((s, dir) => withFixtureConf(s) {
       // F2 task_verify (scheduler.py:416-423): a task whose project is not
       // in projectdb is never selected — it stays ACTIVE and untouched
       // while known-project tasks proceed. 10 urls across a known and an
@@ -980,7 +1019,7 @@ object SparkEntry {
         .orderBy("project", "url")
     }),
 
-    "f10_fetch_dispatch" -> ((s, dir) => {
+    "f10_fetch_dispatch" -> ((s, dir) => withFixtureConf(s) {
       // F10 fetch-type dispatch (tornado_fetcher.py:119-127 + data_fetch
       // :176-198): a data: URL task needs NO pages row and no robots check
       // — its fetch is the url's own payload, an instant 200 — while http
@@ -1038,7 +1077,7 @@ object SparkEntry {
       lineage.toDF("snapshot", "step", "frontier_rows").orderBy("snapshot")
     }),
 
-    "j4b_robots_gate" -> ((s, dir) => {
+    "j4b_robots_gate" -> ((s, dir) => withFixtureConf(s) {
       // J4 robots join + F9 gate INSIDE the superstep
       // (tornado_fetcher.py:287-322 robotparser semantics): per-host
       // robots.txt rows ride the pages table, preparePages lifts them into
@@ -1083,7 +1122,7 @@ object SparkEntry {
       // the batch crawl (c1) and the store-backed crawl (c3) match.
       // Memoized like c1/c3: one streaming run per session, scratch store
       // deleted once the 26 graded rows are collected.
-      val memo = c6Memo.computeIfAbsent(System.identityHashCode(s), _ => {
+      val memo = c6Memo.computeIfAbsent(System.identityHashCode(s), _ => withFixtureConf(s) {
         Udfs.register(s)
         import s.implicits._
         val cfg = PageGen.Config(nHosts = 3, pagesPerHost = 10, hotHosts = 1, hotFactor = 2, fanout = 3)
@@ -1113,7 +1152,7 @@ object SparkEntry {
         .SeqHasAsJava(memo._1).asJava), memo._2)
     }),
 
-    "c8_live_crawl" -> ((s, dir) => {
+    "c8_live_crawl" -> ((s, dir) => withFixtureConf(s) {
       // the LIVE deployment loop driver-checked (S9 as a backend, verdict
       // r03 missing-item 2): `fetch/LiveCrawler` — politeness-SELECTED
       // slice fetched per step, TTL'd robots cache, robots pre-filter
@@ -1152,7 +1191,7 @@ object SparkEntry {
       run.frontier.selectExpr("project", "url", "status", "retried").orderBy("url")
     }),
 
-    "x13_determinism" -> ((s, dir) => {
+    "x13_determinism" -> ((s, dir) => withFixtureConf(s) {
       // X13 deterministic time (SURVEY §7.0-4): the SAME 3-superstep crawl
       // executed TWICE in one session must produce byte-identical frontiers
       // — every column, not just the graded projection: the virtual clock
@@ -1177,7 +1216,7 @@ object SparkEntry {
       f1.exceptAll(f2).unionByName(f2.exceptAll(f1)).orderBy("url")
     }),
 
-    "p7_status_pack" -> ((s, dir) => {
+    "p7_status_pack" -> ((s, dir) => withFixtureConf(s) {
       // P7 status pack (scheduler.py:561-635 task status fields after each
       // attempt): the per-step (status, retried, exetime) trajectory of the
       // FULL retry ladder walked end to end — w7 grades the per-attempt
@@ -1207,10 +1246,12 @@ object SparkEntry {
           projects, step * tick, cfg)
         // the packed post-attempt rows of THIS step's selected batch
         val packed = r.upserts
-          .select(lit(step).as("step"), $"url", $"status", $"retried", $"exetime")
+          .select(graft.sched.RuntimeConst.stepConstInt(step).as("step"),
+            $"url", $"status", $"retried", $"exetime")
           .localCheckpoint()
-        frontier = r.frontier.localCheckpoint()
-        budgets = r.budgets.localCheckpoint()
+        val (f2, b2, _) = Crawler.checkpointCarry(r.frontier, r.budgets,
+          Crawler.emptyResults(s))
+        frontier = f2; budgets = b2
         r.unpersistAll()
         packed
       }

@@ -206,18 +206,13 @@ object LiveCrawler {
           val snap = s.read(spark).get
           frontier = snap.frontier; budgets = snap.budgets; results = snap.results
         case None =>
-          // concurrent materialization, same rationale as Crawler.run: the
-          // three jobs are independent and their driver-side fixed costs
-          // overlap on separate submission threads
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration.Duration
-          import scala.concurrent.ExecutionContext.Implicits.global
-          val fF = Future(r.frontier.localCheckpoint())
-          val fB = Future(r.budgets.localCheckpoint())
-          val fR = Future(results.unionByName(delta).localCheckpoint())
-          frontier = Await.result(fF, Duration.Inf)
-          budgets = Await.result(fB, Duration.Inf)
-          results = Await.result(fR, Duration.Inf)
+          // ONE fused materialization job for the three carry frames, same
+          // rationale as Crawler.run (checkpointCarry): live mode is the
+          // mode where steps are politeness-small and per-step fixed cost
+          // dominates
+          val (f2, b2, r2) = Crawler.checkpointCarry(r.frontier, r.budgets,
+            results.unionByName(delta))
+          frontier = f2; budgets = b2; results = r2
       }
       totalScheduled += r.scheduled
       totalFresh += r.fresh

@@ -127,7 +127,13 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     val paths = mf.frontierOwner.zipWithIndex.collect {
       case (owner, b) if owner != 0L => snapDir(owner).resolve(s"frontier/bucket=$b").toString
     }
-    if (paths.isEmpty) emptyFrontier(spark) else spark.read.parquet(paths.toIndexedSeq: _*)
+    // explicit schema on every store read: the layout is ours, so paying
+    // parquet schema inference (footer reads + a listing pass per read, at
+    // superstep cadence) buys nothing (guide §6: the store read path is
+    // fixed-cost-bound at small step sizes)
+    if (paths.isEmpty) emptyFrontier(spark)
+    else spark.read.schema(FrontierStore.frontierSchema)
+      .parquet(paths.toIndexedSeq: _*)
   }
 
   private def resultsView(spark: SparkSession, mf: Manifest): DataFrame = {
@@ -135,7 +141,7 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.sched.Crawler.resultSchema)
-    else spark.read.parquet(paths: _*)
+    else spark.read.schema(graft.sched.Crawler.resultSchema).parquet(paths: _*)
   }
 
   private def emptyFrontier(spark: SparkSession): DataFrame =
@@ -144,7 +150,8 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
   def read(spark: SparkSession): Option[StoreSnapshot] = currentId.map { id =>
     val mf = parseManifest(id)
     StoreSnapshot(id, mf.step, mf.now, frontierView(spark, mf),
-      spark.read.parquet(snapDir(id).resolve("budgets").toString),
+      spark.read.schema(FrontierStore.budgetsSchema)
+        .parquet(snapDir(id).resolve("budgets").toString),
       resultsView(spark, mf), mf.counterTotals)
   }
 
@@ -182,9 +189,9 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     // results-delta/) commit to INDEPENDENT directories inside the staged
     // snapshot, so their writes overlap on driver threads (Spark job
     // submission is thread-safe; the manifest rename below is still the
-    // single atomic commit point). One ordering constraint: a compaction's
-    // seen rewrite consumes keepProjects from the frontier merge, so full
-    // snapshots run frontier -> seen sequentially.
+    // single atomic commit point). Ordering constraints: a compaction's
+    // seen AND results rewrites consume keepProjects from the frontier
+    // merge, so full snapshots run frontier -> {seen, results} sequentially.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val writeEc: scala.concurrent.ExecutionContext =
@@ -193,25 +200,62 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
       budgets.coalesce(math.max(1, numPartitions / 8))
         .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("budgets").toString)
     }
-    val fResults = Future {
-      val resultsSrc =
+    // results are written UNCONDITIONALLY and emptiness is read from the
+    // written files' parquet footers on the driver (a few ms) — the old
+    // `.isEmpty` probe was a full plan + 1-task job per superstep that the
+    // non-empty (common) case paid ON TOP of the write (guide §1.2: fixed
+    // cost per step is the store path's bottleneck, not bytes)
+    def resultsSection(keep: Option[DataFrame]): Boolean = {
+      val resultsSrc0 =
         if (full && prev.nonEmpty)
           resultsView(spark, prev.get).unionByName(newResults)
         else newResults
-      val has = !resultsSrc.isEmpty
-      if (has) resultsSrc.write.mode(SaveMode.Overwrite)
-        .parquet(tmp.resolve("results-delta").toString)
+      // compaction cleanup (drain IS deletion, matching frontier/seen): a
+      // dropped project's result rows go with it — otherwise a later
+      // re-seed of the same URL starts crawled_ok=false and appends a
+      // duplicate (project, url_hash) the first-writer-wins contract
+      // promises never exists (StepResult.firstResults invariant)
+      val resultsSrc = keep match {
+        case Some(k) if full => resultsSrc0.join(broadcast(k), Seq("project"), "left_semi")
+        case _ => resultsSrc0
+      }
+      val dir = tmp.resolve("results-delta")
+      resultsSrc.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      val has = FrontierStore.footerRowCount(spark, dir) > 0
+      if (!has) deleteRecursively(dir) // keep zero-row dirs out of the view
       has
     }
+    // incremental snapshots never drop projects -> results write starts now;
+    // full snapshots defer it until keepProjects exists (below)
+    val fResultsInc: Option[Future[Boolean]] =
+      if (full) None else Some(Future(resultsSection(None)))
 
     val keyCols = Seq("project", "url_hash")
     val up = upserts.withColumn("bucket", frontierBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Incremental steps: ONE stats job covers both per-bucket breakdowns
+    // (frontier buckets touched by upserts + seen buckets of fresh keys),
+    // materializing both persisted frames as it goes — previously two
+    // separate jobs (a distinct().collect() and a groupBy().count()) paid
+    // two plan+schedule rounds per superstep for the same information.
+    val seenKeyedInc: Option[DataFrame] =
+      if (full) None
+      else Some(freshKeys.select("project", "url_hash")
+        .withColumn("skey", xxhash64(col("project"), col("url_hash")))
+        .withColumn("bucket", seenBucket(col("skey")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val incStats: Map[(Int, Int), Long] =
+      if (full) Map.empty
+      else up.select(col("bucket"), lit(0).as("kind"))
+        .unionByName(seenKeyedInc.get.select(col("bucket"), lit(1).as("kind")))
+        .groupBy("kind", "bucket").count().collect()
+        .map(r => (r.getAs[Int]("kind"), r.getAs[Int]("bucket")) -> r.getAs[Long]("count"))
+        .toMap
 
     // ---- frontier COW
     val touched: Array[Int] =
       if (full) (0 until numPartitions).toArray
-      else up.select("bucket").distinct().collect().map(_.getInt(0)).sorted
+      else incStats.keys.collect { case (0, b) => b }.toArray.sorted
     // Zero-upsert superstep (retry backoff / politeness lull while ACTIVE
     // tasks remain): a partitionBy write of an empty frame produces NO
     // parquet files, so the read-back would throw UNABLE_TO_INFER_SCHEMA.
@@ -234,7 +278,9 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
               case b if mf.frontierOwner(b) != 0L =>
                 snapDir(mf.frontierOwner(b)).resolve(s"frontier/bucket=$b").toString
             }
-            if (paths.isEmpty) None else Some(spark.read.parquet(paths.toIndexedSeq: _*))
+            if (paths.isEmpty) None
+            else Some(spark.read.schema(FrontierStore.frontierSchema)
+              .parquet(paths.toIndexedSeq: _*))
         }
         val merged0 = oldTouched match {
           case None => up
@@ -306,9 +352,11 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
         }
       }
     val fFrontier = Future(frontierSection())
-    // compaction: the frontier merge must complete before the seen rewrite
-    // (keepProjects); incremental snapshots let the two overlap
+    // compaction: the frontier merge must complete before the seen and
+    // results rewrites (keepProjects); incremental snapshots overlap all
     if (full) Await.ready(fFrontier, Duration.Inf)
+    val fResultsFull: Option[Future[Boolean]] =
+      if (full) Some(Future(resultsSection(keepProjects))) else None
 
     // ---- seen index: delta + bloom refresh (append-only; compaction
     // rewrites the full key set so the chain re-bases). The whole section
@@ -318,25 +366,30 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     // overlap the frontier write's instead of summing — the superstep
     // commit path is fixed-cost-bound at small step sizes.
     def seenSection(): (Array[Long], Array[Long], Array[Long], Seq[(Long, Set[Int])]) = {
-    val seenSrc0 =
-      if (full && prev.nonEmpty)
-        prev.map(mf => SeenFilter(seenBuckets, rootDir, mf.seenOwner, mf.seenChain)
-          .keysFor(spark, 0 until seenBuckets)).get
-          .unionByName(freshKeys.select("project", "url_hash"))
-      else freshKeys.select("project", "url_hash")
-    // compaction cleanup: a dropped (drained) project's seen keys go with it
-    // — the reference forgets a deleted project's taskdb entirely
-    val seenSrc = keepProjects match {
-      case Some(keep) if full => seenSrc0.join(broadcast(keep), Seq("project"), "left_semi")
-      case _ => seenSrc0
+    val seenKeyed = seenKeyedInc.getOrElse {
+      // full snapshot: re-base from the whole committed key set + fresh keys
+      val seenSrc0 =
+        if (prev.nonEmpty)
+          prev.map(mf => SeenFilter(seenBuckets, rootDir, mf.seenOwner, mf.seenChain)
+            .keysFor(spark, 0 until seenBuckets)).get
+            .unionByName(freshKeys.select("project", "url_hash"))
+        else freshKeys.select("project", "url_hash")
+      // compaction cleanup: a dropped (drained) project's seen keys go with
+      // it — the reference forgets a deleted project's taskdb entirely
+      val seenSrc = keepProjects match {
+        case Some(keep) => seenSrc0.join(broadcast(keep), Seq("project"), "left_semi")
+        case _ => seenSrc0
+      }
+      seenSrc
+        .withColumn("skey", xxhash64(col("project"), col("url_hash")))
+        .withColumn("bucket", seenBucket(col("skey")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val seenKeyed = seenSrc
-      .withColumn("skey", xxhash64(col("project"), col("url_hash")))
-      .withColumn("bucket", seenBucket(col("skey")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshPerBucket: Map[Int, Long] =
-      seenKeyed.groupBy("bucket").count().collect()
-        .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
+      if (full)
+        seenKeyed.groupBy("bucket").count().collect()
+          .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("count")).toMap
+      else incStats.collect { case ((1, b), n) => b -> n }
     val seenTouched: Array[Int] = freshPerBucket.keys.toArray.sorted
     val prevSeenRows = prev.map(_.seenRows).getOrElse(Array.fill(seenBuckets)(0L))
     val prevSeenCap = prev.map(_.seenCap)
@@ -443,15 +496,17 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
       else if (full || touched.contains(b)) 0L
       else prev.map(_.rowsPerBucket(b)).getOrElse(0L)
     }
-    val hasResults = Await.result(fResults, Duration.Inf)
+    val hasResults = Await.result(fResultsInc.orElse(fResultsFull).get, Duration.Inf)
     Await.result(fBudgets, Duration.Inf)
     val resultSnaps =
       if (full) (if (hasResults) Seq(id) else Seq.empty)
       else prev.map(_.resultSnaps).getOrElse(Seq.empty) ++
         (if (hasResults) Seq(id) else Seq.empty)
 
-    // ---- manifest + atomic commit
-    val counterRowsC = counters.orderBy("project").collect()
+    // ---- manifest + atomic commit. The counters frame is a LocalRelation
+    // (Superstep collects it once) — sort on the driver instead of paying a
+    // SortExec job per snapshot for a handful of rows.
+    val counterRowsC = counters.collect().sortBy(_.getAs[String]("project"))
     val perProject = counterRowsC.map { r =>
       val fields = r.schema.fieldNames.map { f =>
         val v = r.getAs[Any](f)
@@ -520,6 +575,39 @@ object FrontierStore {
     * v4: frontier rows carry `crawled_ok` (first-writer-wins result dedup
     * without an O(history) anti-join). */
   val FormatVersion = 4
+
+  /** Static schemas of the store's own layouts: every read passes them
+    * explicitly, so no superstep pays parquet schema inference (a listing +
+    * footer pass per `spark.read.parquet` call — pure fixed cost at
+    * superstep cadence, guide §6). The frontier schema is derived from the
+    * [[graft.model.Task]] case class, whose field order IS `frontierCols`. */
+  val frontierSchema: StructType =
+    org.apache.spark.sql.Encoders.product[graft.model.Task].schema
+  val budgetsSchema: StructType = StructType(Seq(
+    StructField("project", StringType), StructField("host", StringType),
+    StructField("tokens", DoubleType), StructField("last_update", DoubleType)))
+  val seenKeySchema: StructType = StructType(Seq(
+    StructField("project", StringType), StructField("url_hash", LongType),
+    StructField("skey", LongType)))
+
+  /** Sum of parquet-footer record counts under `dir` (recursive) — a
+    * driver-side metadata read of a few ms, replacing `.isEmpty` probe jobs
+    * on the store's write path. */
+  def footerRowCount(spark: SparkSession, dir: Path): Long = {
+    if (!Files.exists(dir)) return 0L
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    finally walk.close()
+  }
 
   /** Fold one per-project counter Row's Long fields into running totals —
     * ONE implementation shared by the store's persisted manifest totals and

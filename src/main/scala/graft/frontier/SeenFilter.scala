@@ -64,7 +64,10 @@ final case class SeenFilter(
     if (existing.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("project", StringType), StructField("url_hash", LongType))))
-    else spark.read.parquet(existing: _*).select("project", "url_hash")
+    // explicit schema: the delta layout is ours — don't pay parquet schema
+    // inference per probe (this read happens at superstep cadence)
+    else spark.read.schema(FrontierStore.seenKeySchema).parquet(existing: _*)
+      .select("project", "url_hash")
   }
 }
 

@@ -86,6 +86,58 @@ object Crawler {
       .where($"rn" === 1).drop("rn")
   }
 
+  /** Materialize a step's three carry frames (frontier, budgets, results)
+    * in ONE localCheckpoint job: tag-union into a superset schema, split
+    * back with narrow filters over the checkpointed rows. The three
+    * separate eager checkpoints each paid their own plan + job-submission
+    * round per superstep — pure fixed cost that dominates fixture-sized and
+    * politeness-bound steps (guide §1.2: the per-step constant IS the
+    * bottleneck at small step sizes). Values are unchanged: tags are
+    * disjoint, the split filters recover exactly the input rows, so
+    * determinism (x13) and every oracle hold. */
+  private[graft] def checkpointCarry(frontier: DataFrame, budgets: DataFrame,
+      results: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import frontier.sparkSession.implicits._
+    val fc = Superstep.frontierCols
+    val fSchema = graft.frontier.FrontierStore.frontierSchema
+    def fnull(n: String) = lit(null).cast(fSchema(n).dataType).as(n)
+    def nul(t: String, n: String) = lit(null).cast(t).as(n)
+    val fPart = frontier.select((lit(0).as("tag") +: fc.map(col)) ++ Seq(
+      nul("double", "b_tokens"), nul("double", "b_last_update"),
+      nul("string", "r_type"), nul("map<string,string>", "r_data")): _*)
+    val bPart = budgets.select((lit(1).as("tag") +: fc.map {
+      case c @ ("project" | "host") => col(c)
+      case other => fnull(other)
+    }) ++ Seq(col("tokens").as("b_tokens"), col("last_update").as("b_last_update"),
+      nul("string", "r_type"), nul("map<string,string>", "r_data")): _*)
+    val rPart = results.select((lit(2).as("tag") +: fc.map {
+      case c @ ("project" | "url_hash" | "url" | "seed_url" | "updatetime") => col(c)
+      case other => fnull(other)
+    }) ++ Seq(nul("double", "b_tokens"), nul("double", "b_last_update"),
+      col("type").as("r_type"), col("data").as("r_data")): _*)
+    val ck = fPart.unionByName(bPart).unionByName(rPart).localCheckpoint()
+    // conform each split frame back to its INPUT schema: the tag-union makes
+    // every column nullable (other legs supply nulls), but downstream
+    // contracts — query output schemas the driver hash-checks, x13's
+    // frontier byte-compare — expect the original nullability. AssertNotNull
+    // is metadata-only here (the split rows ARE the input rows, never null
+    // where the input wasn't).
+    def conform(df: org.apache.spark.sql.DataFrame,
+        to: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+      df.select(to.map { f =>
+        if (f.nullable) col(f.name)
+        else org.apache.spark.sql.GraftColumnShim.column(
+          org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+            org.apache.spark.sql.GraftColumnShim.expression(col(f.name)))).as(f.name)
+      }: _*)
+    val f2 = conform(ck.where($"tag" === 0).select(fc.map(col): _*), frontier.schema)
+    val b2 = conform(ck.where($"tag" === 1).select($"project", $"host",
+      $"b_tokens".as("tokens"), $"b_last_update".as("last_update")), budgets.schema)
+    val r2 = conform(ck.where($"tag" === 2).select($"project", $"url_hash", $"url",
+      $"r_type".as("type"), $"r_data".as("data"), $"seed_url", $"updatetime"), results.schema)
+    (f2, b2, r2)
+  }
+
   def emptyBudgets(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("project", StringType), StructField("host", StringType),
@@ -196,21 +248,12 @@ object Crawler {
           val snap = s.read(spark).get
           frontier = snap.frontier; budgets = snap.budgets; results = snap.results
         case None =>
-          // the three per-step materializations are independent jobs over
-          // the same persisted superstep intermediates — run them on
-          // concurrent driver threads (job submission is thread-safe, same
-          // contract as FrontierStore's concurrent snapshot writes): the
-          // per-job driver planning + scheduling gaps overlap instead of
-          // summing, a pure fixed-cost cut at superstep cadence
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration.Duration
-          import scala.concurrent.ExecutionContext.Implicits.global
-          val fF = Future(r.frontier.localCheckpoint())
-          val fB = Future(r.budgets.localCheckpoint())
-          val fR = Future(results.unionByName(newResultsDelta).localCheckpoint())
-          frontier = Await.result(fF, Duration.Inf)
-          budgets = Await.result(fB, Duration.Inf)
-          results = Await.result(fR, Duration.Inf)
+          // ONE fused materialization job for the three carry frames (see
+          // checkpointCarry) — three concurrent checkpoints still paid three
+          // plan + submission rounds; the tag-union pays one
+          val (f2, b2, r2) = checkpointCarry(r.frontier, r.budgets,
+            results.unionByName(newResultsDelta))
+          frontier = f2; budgets = b2; results = r2
       }
       counters += r.counters.withColumn("step", lit(stepNo))
 

@@ -70,4 +70,9 @@ object RuntimeConst {
   /** Column wrapper: `stepConst(now)` ≡ `lit(now)` with cache-stable codegen. */
   def stepConst(d: Double): Column =
     org.apache.spark.sql.GraftColumnShim.column(RuntimeConst(Literal(d)))
+
+  /** Int variant for step counters riding query output (e.g. a per-step
+    * label column): same cache-stable codegen rationale. */
+  def stepConstInt(i: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(RuntimeConst(Literal(i)))
 }

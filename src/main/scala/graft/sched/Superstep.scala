@@ -307,15 +307,25 @@ object Superstep {
     // Project lifecycle gate (scheduler.py:637-649 + F2): only tasks of
     // RUNNING projects are schedulable — a STOP/FINISHED project's tasks
     // stay in the frontier untouched (re-activation resumes them), and
-    // tasks of unknown projects are never selected (task_verify).
-    val runningProjects =
-      if (projects.columns.contains("status"))
-        projects.where(coalesce($"status", lit("RUNNING")) === "RUNNING")
-          .select($"name".as("project"))
-      else projects.select($"name".as("project"))
+    // tasks of unknown projects are never selected (task_verify). The gate
+    // and the rate/burst lookup are ONE broadcast inner join: the old
+    // left_semi(runningProjects) + left_outer(projRB) pair built two
+    // broadcast relations and two joins per plan evaluation for the same
+    // row set — after the semi join every surviving project was in projRB
+    // anyway, so inner ≡ semi + outer (guide §2.4: fewer operators, same
+    // result; a broadcast build is its own job at superstep cadence).
+    val projGate = broadcast({
+      val base =
+        if (projects.columns.contains("status"))
+          projects.where(coalesce($"status", lit("RUNNING")) === "RUNNING")
+        else projects
+      base.select($"name".as("project"),
+        coalesce($"rate", lit(cfg.defaultRate)).as("p_rate"),
+        coalesce($"burst", lit(cfg.defaultBurst)).as("p_burst"))
+    })
     val ready = frontier
       .where($"status" === TaskStatus.Active && $"exetime" <= RuntimeConst.stepConst(now))
-      .join(broadcast(runningProjects), Seq("project"), "left_semi")
+      .join(projGate, Seq("project"), "inner")
 
     // ---- A7: politeness budgets per (project, host) — token bucket carried
     // as state; missing state = full bucket (token_bucket.py:32). Refill is
@@ -325,22 +335,22 @@ object Superstep {
     // pre-aggregation of `ready` (demand) at all: TopKSelect's buffer grows
     // with rows actually kept, never eagerly to k, so an effectively
     // unlimited budget costs memory proportional to real rows.
-    val projRB = broadcast(projects.select($"name".as("project"),
-      coalesce($"rate", lit(cfg.defaultRate)).as("p_rate"),
-      coalesce($"burst", lit(cfg.defaultBurst)).as("p_burst")))
+    // Budget state rows of non-RUNNING/unknown projects drop out of
+    // `budgeted` under the inner gate — consistent: such projects can never
+    // consume this step, and `run`'s budget update touches consumed hosts
+    // only (their stored state rows persist untouched in `budgets`).
     val budgeted = budgets
-      .join(projRB, Seq("project"), "left_outer")
+      .join(projGate, Seq("project"), "inner")
       .withColumn("tokens_avail",
-        least(coalesce($"p_burst", lit(cfg.defaultBurst)),
-          $"tokens" + coalesce($"p_rate", lit(cfg.defaultRate)) * (RuntimeConst.stepConst(now) - $"last_update")))
+        least($"p_burst",
+          $"tokens" + $"p_rate" * (RuntimeConst.stepConst(now) - $"last_update")))
       .select($"project", $"host", $"tokens_avail")
 
     // ---- W1 (+W5): ranked selection under the budget
     val withBudget = ready
-      .join(projRB, Seq("project"), "left_outer")
       .join(budgeted, Seq("project", "host"), "left_outer")
       .withColumn("allowed",
-        floor(coalesce($"tokens_avail", $"p_burst", lit(cfg.defaultBurst))))
+        floor(coalesce($"tokens_avail", $"p_burst")))
       .drop("tokens_avail", "p_rate", "p_burst")
     val useTopK = cfg.topKAggSelection && spark.catalog.functionExists("topk_select")
     var selected =
@@ -384,7 +394,7 @@ object Superstep {
             .drop("prnk")
         }
     }
-    Selection(selected, budgeted, projRB)
+    Selection(selected, budgeted, projGate)
   }
 
   /**
@@ -690,47 +700,49 @@ object Superstep {
     val firstResults = resultRows(
       fetched.where($"fetch_ok" && !$"not_modified" && !$"crawled_ok"))
 
-    // ---- A3: per-project counters for this superstep. ONE aggregation per
-    // source frame, unioned and re-aggregated — not N aggs + (N-1)
-    // full_outer joins: at superstep cadence every extra join is its own
-    // AQE stage wave of pure fixed cost
+    // ---- A3: per-project counters for this superstep. ONE exchange total:
+    // each source frame contributes PER-ROW counter columns (0/1 deltas),
+    // the legs union, and a single hash aggregate sums them — partial
+    // aggregation runs map-side on every leg, so this is the same bytes as
+    // the old per-frame aggs but without their two extra exchanges + the
+    // re-aggregation exchange (guide §2.4: operations keyed the same way
+    // share one exchange; at superstep cadence each exchange is its own AQE
+    // stage wave of pure fixed cost). Results are identical: the sum of
+    // per-row deltas is the sum of per-frame partial sums.
+    //
+    // done_success excludes auto_recrawl successes (those stay ACTIVE): the
+    // exact per-status deltas let the crawl loop track the remaining ACTIVE
+    // count arithmetically instead of rescanning the frontier.
     val counterCols = Seq("scheduled", "fetched", "succeeded", "done_success",
       "failed_now", "retried", "new_tasks", "in_batch_dups", "candidates",
       "not_modified")
-    def shape(df: DataFrame): DataFrame = {
-      val padded = counterCols.foldLeft(df)((d, c) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, lit(0L)))
-      padded.select((col("project") +: counterCols.map(col)): _*)
-    }
-    // scheduled/fetched + the status deltas come from one pass over the
-    // selected batch (updates == a projection of statusCalc — same rows);
-    // done_success excludes auto_recrawl successes (those stay ACTIVE): the
-    // exact per-status deltas let the crawl loop track the remaining ACTIVE
-    // count arithmetically instead of rescanning the frontier
-    val cSel = statusCalc.groupBy($"project").agg(
-      count(lit(1)).as("scheduled"),
-      sum(when($"fetch_ok", 1L).otherwise(0L)).as("fetched"),
-      sum(when($"fetch_ok", 1L).otherwise(0L)).as("succeeded"),
-      sum(when($"new_status" === TaskStatus.Success, 1L).otherwise(0L)).as("done_success"),
-      sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Failed, 1L).otherwise(0L)).as("failed_now"),
-      sum(when(!$"fetch_ok" && $"new_status" === TaskStatus.Active, 1L).otherwise(0L)).as("retried"),
-      sum(when($"not_modified", 1L).otherwise(0L)).as("not_modified"))
-    // candidates + fresh counters come from ONE pass over the flagged frame
-    // (new_tasks must count POST-limit inserts, so the non-default
-    // INQUEUE_LIMIT path still aggregates the limited fresh separately)
-    val cNewDedup =
+    val zeroL = lit(0L)
+    def deltas(df: DataFrame, cols: Map[String, Column]): DataFrame =
+      df.select((col("project") +:
+        counterCols.map(c => cols.getOrElse(c, zeroL).as(c))): _*)
+    val rowsSel = deltas(statusCalc, Map(
+      "scheduled" -> lit(1L),
+      "fetched" -> when($"fetch_ok", 1L).otherwise(0L),
+      "succeeded" -> when($"fetch_ok", 1L).otherwise(0L),
+      "done_success" -> when($"new_status" === TaskStatus.Success, 1L).otherwise(0L),
+      "failed_now" -> when(!$"fetch_ok" && $"new_status" === TaskStatus.Failed, 1L).otherwise(0L),
+      "retried" -> when(!$"fetch_ok" && $"new_status" === TaskStatus.Active, 1L).otherwise(0L),
+      "not_modified" -> when($"not_modified", 1L).otherwise(0L)))
+    // candidates + fresh counters come from the flagged frame (new_tasks
+    // must count POST-limit inserts, so the non-default INQUEUE_LIMIT path
+    // contributes the limited fresh as a third union leg)
+    val rowsNew =
       if (cfg.inqueueLimit <= 0)
-        flagged.groupBy($"project").agg(
-          count(lit(1)).as("candidates"),
-          sum(when($"is_new", 1L).otherwise(0L)).as("new_tasks"),
-          sum(when($"is_new", $"dups" - 1).otherwise(0L)).as("in_batch_dups"))
-      else {
-        val cNew = fresh.groupBy($"project").agg(
-          count(lit(1)).as("new_tasks"), sum($"dups" - 1).as("in_batch_dups"))
-        flagged.groupBy($"project").agg(count(lit(1)).as("candidates"))
-          .join(cNew, Seq("project"), "full_outer").na.fill(0L)
-      }
-    val countersDf = shape(cSel).unionByName(shape(cNewDedup))
+        deltas(flagged, Map(
+          "candidates" -> lit(1L),
+          "new_tasks" -> when($"is_new", 1L).otherwise(0L),
+          "in_batch_dups" -> when($"is_new", $"dups" - 1).otherwise(0L)))
+      else
+        deltas(flagged, Map("candidates" -> lit(1L))).unionByName(
+          deltas(fresh, Map(
+            "new_tasks" -> lit(1L),
+            "in_batch_dups" -> ($"dups" - 1))))
+    val countersDf = rowsSel.unionByName(rowsNew)
       .groupBy($"project")
       .agg(sum(col(counterCols.head)).as(counterCols.head),
         counterCols.tail.map(c => sum(col(c)).as(c)): _*)
