@@ -68,8 +68,14 @@ object SparkEntry {
     if (sys.env.getOrElse("SPARK_GRAFT_FIXTURE_CONF", "1") == "0") return f
     val conf = s.conf
     val keys = Seq(
+      // AQE OFF for fixture-sized crawls (r06): with the small-step
+      // broadcast hints (Superstep.Config.smallStep) every join is already
+      // a plan-time broadcast, so AQE's contribution is only its per-stage
+      // materialization cadence — measured c5 4.4s -> 3.4s, c3 21.6 -> 13.3
+      // with it off. Production-scale paths keep AQE on (this wrapper never
+      // touches them).
       "spark.sql.adaptive.enabled" ->
-        sys.env.getOrElse("SPARK_GRAFT_FIXTURE_AQE", "true"),
+        sys.env.getOrElse("SPARK_GRAFT_FIXTURE_AQE", "false"),
       "spark.sql.shuffle.partitions" -> "1",
       "spark.sql.leafNodeDefaultParallelism" -> "1") ++
       sys.env.get("SPARK_GRAFT_FIXTURE_EXTRA").toSeq
@@ -416,9 +422,11 @@ object SparkEntry {
       val frontier = Crawler.seedFrontierDf(s,
         (0 until 20).map(i => ("p1", s"http://h0.test/p/$i")).toDF("project", "raw_url"), 0.0)
       val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      // lazy counters + localCheckpoint: one action under the fixture conf
       val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
-        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false))
-      r.frontier.selectExpr("url", "status", "method", "data").orderBy("url")
+        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false,
+          collectCounters = false, smallStep = true))
+      r.frontier.selectExpr("url", "status", "method", "data").orderBy("url").localCheckpoint()
     }),
 
     "f5_merge_matrix" -> ((s, dir) => {
@@ -911,14 +919,17 @@ object SparkEntry {
             .when($"i" % 4 === 3, lit("lmx")))
         .drop("i")
       val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      // lazy counters + localCheckpoint: ONE materialization action under
+      // the fixture conf (was two — the counters collect then the count)
       val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
-        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false))
+        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false,
+          collectCounters = false, smallStep = true))
       r.upserts.join(
           r.newResults.select($"project", $"url_hash").withColumn("got_result", lit(true)),
           Seq("project", "url_hash"), "left_outer")
         .select($"url", $"status", $"etag", $"last_modified",
           coalesce($"got_result", lit(false)).as("got_result"))
-        .orderBy("url")
+        .orderBy("url").localCheckpoint()
     }),
 
     "c5_politeness_schedule" -> ((s, dir) => withFixtureConf(s) {
@@ -941,12 +952,15 @@ object SparkEntry {
           (s"http://h$h.test/p/$i", ts, html, "", "en"))
         .toDF("url", "warc_ts", "html", "text", "lang")
       val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      idx.persist(); robots.persist() // reused by every superstep's plan
       val seeds = (for { p <- Seq("p1", "p2"); h <- 0 until 2; i <- 0 until 8 } yield
         (p, s"http://h$h.test/p/$i")).toDF("project", "raw_url")
       val frontier0 = Crawler.seedFrontierDf(s, seeds, 0.0)
         .withColumn("priority", regexp_extract($"url", "/p/([0-9]+)$", 1).cast("int"))
       val projects = Seq(("p1", 2.0, 3.0), ("p2", 1.0, 2.0)).toDF("name", "rate", "burst")
-      val cfg = graft.sched.Superstep.Config(respectRobots = false)
+      // lazy counters: this loop never reads them — one action per step
+      val cfg = graft.sched.Superstep.Config(respectRobots = false,
+        collectCounters = false, smallStep = true)
       var frontier = frontier0
       var budgets = Crawler.emptyBudgets(s)
       (1 to 3).foreach { step =>
@@ -975,12 +989,15 @@ object SparkEntry {
       val pages = (0 until 6).map(i => (s"http://h0.test/p/$i", ts, html, "", "en"))
         .toDF("url", "warc_ts", "html", "text", "lang")
       val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      idx.persist(); robots.persist() // reused by every superstep's plan
       val frontier0 = Crawler.seedFrontierDf(s,
           (0 until 6).map(i => ("p1", s"http://h0.test/p/$i")).toDF("project", "raw_url"), 0.0)
         .withColumn("exetime",
           regexp_extract($"url", "/p/([0-9]+)$", 1).cast("double"))
       val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
-      val cfg = graft.sched.Superstep.Config(respectRobots = false)
+      // lazy counters: this loop never reads them — one action per step
+      val cfg = graft.sched.Superstep.Config(respectRobots = false,
+        collectCounters = false, smallStep = true)
       var frontier = frontier0
       var budgets = Crawler.emptyBudgets(s)
       (1 to 3).foreach { step =>
@@ -1012,11 +1029,13 @@ object SparkEntry {
         (p, s"http://h0.test/p/$i")).toDF("project", "raw_url")
       val frontier = Crawler.seedFrontierDf(s, seeds, 0.0)
       val projects = Seq(("known", 1e9, 1e9)).toDF("name", "rate", "burst")
+      // lazy counters + localCheckpoint: one action under the fixture conf
       val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
-        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false))
+        projects, 1.0, graft.sched.Superstep.Config(respectRobots = false,
+          collectCounters = false, smallStep = true))
       r.frontier.selectExpr("project", "url", "status",
           "cast(lastcrawltime as int) as fetched_step")
-        .orderBy("project", "url")
+        .orderBy("project", "url").localCheckpoint()
     }),
 
     "f10_fetch_dispatch" -> ((s, dir) => withFixtureConf(s) {
@@ -1038,13 +1057,14 @@ object SparkEntry {
         .toDF("project", "raw_url")
       val frontier = Crawler.seedFrontierDf(s, seeds, 0.0)
       val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      // lazy counters + localCheckpoint: one action under the fixture conf
       val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
-        projects, 1.0, graft.sched.Superstep.Config())
+        projects, 1.0, graft.sched.Superstep.Config(collectCounters = false, smallStep = true))
       r.upserts.join(
           r.newResults.select($"project", $"url_hash").withColumn("got_result", lit(true)),
           Seq("project", "url_hash"), "left_outer")
         .select($"url", $"status", coalesce($"got_result", lit(false)).as("got_result"))
-        .orderBy("url")
+        .orderBy("url").localCheckpoint()
     }),
 
     "c7_counter_totals" -> ((s, dir) => {
@@ -1109,9 +1129,10 @@ object SparkEntry {
         .toDF("project", "raw_url")
       val frontier = Crawler.seedFrontierDf(s, seeds, 0.0)
       val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
+      // lazy counters + localCheckpoint: one action under the fixture conf
       val r = graft.sched.Superstep.run(s, frontier, Crawler.emptyBudgets(s), idx, robots,
-        projects, 1.0, graft.sched.Superstep.Config())
-      r.upserts.select($"url", $"status", $"retried").orderBy("url")
+        projects, 1.0, graft.sched.Superstep.Config(collectCounters = false, smallStep = true))
+      r.upserts.select($"url", $"status", $"retried").orderBy("url").localCheckpoint()
     }),
 
     "c6_streaming_crawl" -> ((s, dir) => {
@@ -1233,11 +1254,16 @@ object SparkEntry {
       val pages = (0 until 2).map(i => (s"http://h0.test/ok/$i", ts, html, "", "en"))
         .toDF("url", "warc_ts", "html", "text", "lang")
       val (idx, robots) = graft.sched.Superstep.preparePages(s, pages)
+      idx.persist(); robots.persist() // reused by every superstep's plan
       val seeds = ((0 until 4).map(i => ("p1", s"http://h0.test/miss/$i")) ++
         (0 until 2).map(i => ("p1", s"http://h0.test/ok/$i"))).toDF("project", "raw_url")
       val frontier0 = Crawler.seedFrontierDf(s, seeds, 0.0)
       val projects = Seq(("p1", 1e9, 1e9)).toDF("name", "rate", "burst")
-      val cfg = graft.sched.Superstep.Config(respectRobots = false)
+      // lazy counters + the packed rows fused into the carry checkpoint:
+      // ONE materialization action per superstep (was three — counters
+      // collect, packed localCheckpoint, carry)
+      val cfg = graft.sched.Superstep.Config(respectRobots = false,
+        collectCounters = false, smallStep = true)
       val tick = 43200.0
       var frontier = frontier0
       var budgets = Crawler.emptyBudgets(s)
@@ -1245,15 +1271,14 @@ object SparkEntry {
         val r = graft.sched.Superstep.run(s, frontier, budgets, idx, robots,
           projects, step * tick, cfg)
         // the packed post-attempt rows of THIS step's selected batch
-        val packed = r.upserts
+        val packed0 = r.upserts
           .select(graft.sched.RuntimeConst.stepConstInt(step).as("step"),
             $"url", $"status", $"retried", $"exetime")
-          .localCheckpoint()
-        val (f2, b2, _) = Crawler.checkpointCarry(r.frontier, r.budgets,
-          Crawler.emptyResults(s))
+        val (f2, b2, _, _, packedCk) = Crawler.checkpointCarryFused(r.frontier,
+          r.budgets, Crawler.emptyResults(s), None, Some(packed0))
         frontier = f2; budgets = b2
         r.unpersistAll()
-        packed
+        packedCk.get
       }
       perStep.reduce(_ unionByName _).orderBy("step", "url")
     })

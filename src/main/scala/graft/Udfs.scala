@@ -131,6 +131,26 @@ object Udfs {
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     }
     java.nio.file.Files.createDirectories(base)
+    // RAM-backed scratch is cleaned best-effort at each call site, but a
+    // crashed/killed run (forked scaling JVMs, bench section failures) leaks
+    // its directory until reboot (ADVICE r05). Purge siblings old enough
+    // that no live run can still own them (age >= 6h; any legitimate
+    // bench/oracle run completes well inside that).
+    try {
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      val ls = java.nio.file.Files.list(base)
+      try {
+        ls.iterator().forEachRemaining { p =>
+          try {
+            if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(f => java.nio.file.Files.deleteIfExists(f))
+            }
+          } catch { case _: Throwable => }
+        }
+      } finally ls.close()
+    } catch { case _: Throwable => }
     java.nio.file.Files.createTempDirectory(base, prefix)
   }
 

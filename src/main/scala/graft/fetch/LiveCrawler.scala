@@ -91,17 +91,34 @@ object LiveCrawler {
     var done = activeRemaining == 0
 
     // previous step's localCheckpointed RDDs (selected/pages/robots +, in
-    // no-store mode, frontier/budgets/results): released one step late —
-    // the frontier checkpoint of step k feeds step k+1's selection, and
-    // relying on ContextCleaner would let cached blocks pile up between
-    // driver GCs in a long-running live deployment
+    // no-store mode, the fused carry): released one step late — the
+    // frontier checkpoint of step k feeds step k+1's selection, and relying
+    // on ContextCleaner would let cached blocks pile up between driver GCs
+    // in a long-running live deployment. Only the RDD ids of frames THIS
+    // loop checkpointed are tracked (ADVICE r05: a context-wide
+    // persistent-RDD diff would force-unpersist a concurrent workload's
+    // RDDs cached in the same window).
     val sc = spark.sparkContext
     var prevStepRdds: Set[Int] = Set.empty
+    def ckRddId(df: DataFrame): Option[Int] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+    // running committed totals (store mode): per-step counter deltas derive
+    // from consecutive snapshots' manifest totals
+    var storeTotals: Map[String, Map[String, Long]] =
+      resumed.map(_.counterTotals).getOrElse(Map.empty)
+    // small-step broadcast gate, same arithmetic bound as Crawler.run —
+    // live mode IS the politeness-small regime this plan shape targets
+    val smallThreshold = spark.conf.getOption("spark.graft.smallStepBroadcastRows")
+      .map(_.toLong).getOrElse(100000L)
+    var stateRows: Long = resumed.map(_.frontierRows).filter(_ >= 0)
+      .getOrElse(seeds.size.toLong) +
+      storeTotals.values.map(_.getOrElse("scheduled", 0L)).sum
 
     while (step < maxSteps && !done) {
       step += 1
       val now = now0 + step * tick
-      val idsBefore: Set[Int] = sc.getPersistentRDDs.keySet.toSet
 
       // ---- the politeness-selected slice FIRST (W2 -> A7 -> W1 -> W5),
       // before any socket is touched: the token-bucket budget must bound
@@ -192,42 +209,68 @@ object LiveCrawler {
       val pagesIdx = pagesIdx0.localCheckpoint()
       val robots = robots0.localCheckpoint()
 
+      // LAZY counters: the aggregate fuses into the step's materialization
+      // action (carry checkpoint / store commit) — live mode is the mode
+      // where steps are politeness-small and per-step fixed cost dominates
       val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
-        projects, now, cfg, store.flatMap(_.seenFilter(spark)),
-        preselected = Some(selected))
+        projects, now, cfg.copy(collectCounters = false,
+          smallStep = stateRows < smallThreshold),
+        store.flatMap(_.seenFilter(spark)), preselected = Some(selected))
       // first-writer-wins delta derived from each task's crawled_ok history
       // — O(step), no anti-join against cumulative results (verdict r04
       // item 1, same fix as Crawler.run)
       val delta = r.firstResults
+      var counterRows: Seq[org.apache.spark.sql.Row] = Nil
       store match {
         case Some(s) =>
           s.writeIncremental(spark, step, now, r.upserts, r.freshKeys,
             r.budgets, delta, r.counters)
           val snap = s.read(spark).get
           frontier = snap.frontier; budgets = snap.budgets; results = snap.results
+          // per-step deltas from the committed totals (the commit collected
+          // the counters concurrently with its write jobs)
+          counterRows = snap.counterTotals.toSeq.sortBy(_._1).map { case (p, after) =>
+            val before = storeTotals.getOrElse(p, Map.empty[String, Long])
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              r.counters.schema.fieldNames.map {
+                case "project" => p: Any
+                case n => (after.getOrElse(n, 0L) - before.getOrElse(n, 0L)): Any
+              }, r.counters.schema)
+          }
+          storeTotals = snap.counterTotals
         case None =>
-          // ONE fused materialization job for the three carry frames, same
-          // rationale as Crawler.run (checkpointCarry): live mode is the
-          // mode where steps are politeness-small and per-step fixed cost
-          // dominates
-          val (f2, b2, r2) = Crawler.checkpointCarry(r.frontier, r.budgets,
-            results.unionByName(delta))
+          // ONE fused materialization job for the three carry frames AND
+          // the counters aggregate, same rationale as Crawler.run
+          val (f2, b2, r2, rows, _) = Crawler.checkpointCarryFused(r.frontier,
+            r.budgets, results.unionByName(delta), Some(r.counters), None)
           frontier = f2; budgets = b2; results = r2
+          counterRows = rows
       }
-      totalScheduled += r.scheduled
-      totalFresh += r.fresh
+      var stepFresh = 0L; var stepDone = 0L; var stepFailed = 0L
+      counterRows.foreach { row =>
+        totalScheduled += row.getAs[Long]("scheduled")
+        stateRows += row.getAs[Long]("scheduled")
+        stepFresh += row.getAs[Long]("new_tasks")
+        stepDone += row.getAs[Long]("done_success")
+        stepFailed += row.getAs[Long]("failed_now")
+      }
+      totalFresh += stepFresh
+      stateRows += stepFresh
       r.unpersistAll()
       // release the PREVIOUS step's checkpointed RDDs (this step's outputs
       // are all materialized above; the ids unpersisted by r.unpersistAll()
       // are already gone from getPersistentRDDs, so the lookup skips them)
       prevStepRdds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevStepRdds = sc.getPersistentRDDs.keySet.toSet -- idsBefore
+      // the no-store carry's three split frames share ONE checkpoint RDD
+      // (frontier's analyzed plan reaches it); store mode's frontier is a
+      // parquet view (no LogicalRDD -> not tracked, nothing to release)
+      prevStepRdds = (Seq(selected, pagesIdx, robots, frontier).flatMap(ckRddId)).toSet
 
       // live mode has no global pages table to drain: stop when no
       // schedulable ACTIVE task remains (backoff'd retries keep the crawl
       // ticking, same contract as Crawler) — tracked arithmetically from
       // the step's own status deltas, never a frontier scan
-      activeRemaining += r.fresh - (r.doneSuccess + r.failed)
+      activeRemaining += stepFresh - (stepDone + stepFailed)
       done = activeRemaining == 0
     }
     LiveRun(step, frontier, results, totalScheduled, totalFresh, robotsFetches)

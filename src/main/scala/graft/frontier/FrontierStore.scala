@@ -152,7 +152,8 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     StoreSnapshot(id, mf.step, mf.now, frontierView(spark, mf),
       spark.read.schema(FrontierStore.budgetsSchema)
         .parquet(snapDir(id).resolve("budgets").toString),
-      resultsView(spark, mf), mf.counterTotals)
+      resultsView(spark, mf), mf.counterTotals,
+      frontierRows = mf.rowsPerBucket.sum)
   }
 
   /** The distributed URL-seen probe for the current snapshot (None before
@@ -196,6 +197,12 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     import scala.concurrent.duration.Duration
     implicit val writeEc: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+    // counters may arrive LAZY (Superstep collectCounters=false): collect on
+    // a concurrent future started before any write job, so the counters
+    // aggregate's driver planning + stage waves overlap the commit's write
+    // jobs instead of costing their own serial action. A LocalRelation
+    // counters frame (eager callers, tests) resolves in microseconds here.
+    val fCounterRows = Future(counters.collect())
     val fBudgets = Future {
       budgets.coalesce(math.max(1, numPartitions / 8))
         .write.mode(SaveMode.Overwrite).parquet(tmp.resolve("budgets").toString)
@@ -282,10 +289,21 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
             else Some(spark.read.schema(FrontierStore.frontierSchema)
               .parquet(paths.toIndexedSeq: _*))
         }
+        // broadcast-hint the step-sized key side of the COW anti-join when
+        // small (known exactly from incStats, no extra job): without the
+        // hint a plan-time SMJ shuffles the touched buckets' full row set
+        // every commit — two materialized exchanges of pure fixed cost at
+        // politeness-small step sizes (same rationale as
+        // Superstep.Config.smallStep; threshold shared)
+        val smallThreshold = spark.conf.getOption("spark.graft.smallStepBroadcastRows")
+          .map(_.toLong).getOrElse(100000L)
+        val upRows = incStats.collect { case ((0, _), n) => n }.sum
+        val upKeys0 = up.select(keyCols.map(col): _*)
+        val upKeys = if (!full && upRows < smallThreshold) broadcast(upKeys0) else upKeys0
         val merged0 = oldTouched match {
           case None => up
           case Some(old) =>
-            old.join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+            old.join(upKeys, keyCols, "left_anti")
               .withColumn("bucket", frontierBucket)
               .unionByName(up)
         }
@@ -506,7 +524,8 @@ final class FrontierStore(rootDir: String, numPartitions: Int,
     // ---- manifest + atomic commit. The counters frame is a LocalRelation
     // (Superstep collects it once) — sort on the driver instead of paying a
     // SortExec job per snapshot for a handful of rows.
-    val counterRowsC = counters.collect().sortBy(_.getAs[String]("project"))
+    val counterRowsC = Await.result(fCounterRows, Duration.Inf)
+      .sortBy(_.getAs[String]("project"))
     val perProject = counterRowsC.map { r =>
       val fields = r.schema.fieldNames.map { f =>
         val v = r.getAs[Any](f)

@@ -6,7 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class StoreSnapshot(id: Long, step: Int, now: Double,
     frontier: DataFrame, budgets: DataFrame, results: DataFrame,
     /** cumulative per-project counter totals across all committed steps */
-    counterTotals: Map[String, Map[String, Long]] = Map.empty)
+    counterTotals: Map[String, Map[String, Long]] = Map.empty,
+    /** total frontier rows in this snapshot (from lineage metadata; -1 =
+      * unknown). Crawl loops use it to size-gate the small-step broadcast
+      * plan ([[graft.sched.Superstep.Config.smallStep]]) without a scan. */
+    frontierRows: Long = -1L)
 
 /**
  * The snapshot-store contract the crawl loops (batch [[graft.sched.Crawler]],

@@ -97,7 +97,31 @@ object Crawler {
     * determinism (x13) and every oracle hold. */
   private[graft] def checkpointCarry(frontier: DataFrame, budgets: DataFrame,
       results: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    import frontier.sparkSession.implicits._
+    val (f2, b2, r2, _, _) = checkpointCarryFused(frontier, budgets, results, None, None)
+    (f2, b2, r2)
+  }
+
+  /** [[checkpointCarry]] with optional extra legs fused into the SAME
+    * one-job materialization (guide §1.2: at small step sizes every extra
+    * action is a full round of driver planning + AQE stage waves — measured
+    * ~20 stage-jobs for the counters action alone):
+    *  - `counters` (tag 3): the step's LAZY counters aggregate
+    *    (Superstep.Config.collectCounters=false) rides the checkpoint as
+    *    (project, CSV-of-numeric-fields in the r_type slot); the returned
+    *    Rows are recovered with a narrow filter-collect over the already-
+    *    cached checkpoint RDD — values identical to the eager collect (same
+    *    aggregate plan, same input), only the action count changes.
+    *  - `packed` (tag 4): a (step,url,status,retried,exetime) projection
+    *    (p7's per-step trajectory rows); `step` travels in the priority
+    *    slot. Returned conformed back to its input schema. */
+  /** The tagged-union plan the fused carry materializes (exposed for the
+    * PlanDump dev harness — plan-shape inspection without running it). */
+  private[graft] def carryUnionForDump(frontier: DataFrame, budgets: DataFrame,
+      results: DataFrame, counters: Option[DataFrame], packed: Option[DataFrame]): DataFrame =
+    carryUnion(frontier, budgets, results, counters, packed)
+
+  private def carryUnion(frontier: DataFrame, budgets: DataFrame,
+      results: DataFrame, counters: Option[DataFrame], packed: Option[DataFrame]): DataFrame = {
     val fc = Superstep.frontierCols
     val fSchema = graft.frontier.FrontierStore.frontierSchema
     def fnull(n: String) = lit(null).cast(fSchema(n).dataType).as(n)
@@ -115,7 +139,41 @@ object Crawler {
       case other => fnull(other)
     }) ++ Seq(nul("double", "b_tokens"), nul("double", "b_last_update"),
       col("type").as("r_type"), col("data").as("r_data")): _*)
-    val ck = fPart.unionByName(bPart).unionByName(rPart).localCheckpoint()
+    val cPart = counters.map { cdf =>
+      val names = cdf.schema.fieldNames.filter(_ != "project").toSeq
+      val csv = concat_ws(",", names.map(n => col(n).cast("string")): _*)
+      cdf.select((lit(3).as("tag") +: fc.map {
+        case "project" => col("project")
+        case other => fnull(other)
+      }) ++ Seq(nul("double", "b_tokens"), nul("double", "b_last_update"),
+        csv.as("r_type"), nul("map<string,string>", "r_data")): _*)
+    }
+    val pPart = packed.map { pdf =>
+      pdf.select((lit(4).as("tag") +: fc.map {
+        case c @ ("url" | "status" | "retried" | "exetime") => col(c)
+        case "priority" => col("step").as("priority")
+        case other => fnull(other)
+      }) ++ Seq(nul("double", "b_tokens"), nul("double", "b_last_update"),
+        nul("string", "r_type"), nul("map<string,string>", "r_data")): _*)
+    }
+    (Seq(fPart, bPart, rPart) ++ cPart ++ pPart).reduce(_ unionByName _)
+  }
+
+  private[graft] def checkpointCarryFused(frontier: DataFrame, budgets: DataFrame,
+      results: DataFrame, counters: Option[DataFrame], packed: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame,
+        Seq[org.apache.spark.sql.Row], Option[DataFrame]) = {
+    import frontier.sparkSession.implicits._
+    val fc = Superstep.frontierCols
+    // Bound the checkpoint's partition count with a NARROW coalesce. Under
+    // the small-step broadcast plan the loop has no exchange to reset
+    // partitioning, so each carry leg inherits the previous checkpoint's
+    // partitions and the union MULTIPLIES them (~3x per step — exponential:
+    // an 8-step crawl reached a 40k-task stage). coalesce merges without a
+    // shuffle; values and split-back semantics are unchanged.
+    val maxParts = math.max(1, frontier.sparkSession.sessionState.conf.numShufflePartitions)
+    val ck = carryUnion(frontier, budgets, results, counters, packed)
+      .coalesce(maxParts).localCheckpoint()
     // conform each split frame back to its INPUT schema: the tag-union makes
     // every column nullable (other legs supply nulls), but downstream
     // contracts — query output schemas the driver hash-checks, x13's
@@ -135,7 +193,27 @@ object Crawler {
       $"b_tokens".as("tokens"), $"b_last_update".as("last_update")), budgets.schema)
     val r2 = conform(ck.where($"tag" === 2).select($"project", $"url_hash", $"url",
       $"r_type".as("type"), $"r_data".as("data"), $"seed_url", $"updatetime"), results.schema)
-    (f2, b2, r2)
+    // counter-row recovery: narrow filter + collect over the cached
+    // checkpoint RDD — rows were computed by the checkpoint job above, this
+    // is driver-side unpacking, not a second pass over the step
+    val counterRows: Seq[org.apache.spark.sql.Row] = counters match {
+      case None => Nil
+      case Some(cdf) =>
+        val schema = cdf.schema
+        val names = schema.fieldNames.filter(_ != "project").toSeq
+        ck.where($"tag" === 3).select($"project", $"r_type").collect().toIndexedSeq.map { r =>
+          val vals = r.getString(1).split(",", -1).map(_.toLong)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            schema.fieldNames.map {
+              case "project" => r.getString(0): Any
+              case n => vals(names.indexOf(n)): Any
+            }, schema)
+        }
+    }
+    val p2 = packed.map(pdf => conform(
+      ck.where($"tag" === 4).select($"priority".as("step"), $"url", $"status",
+        $"retried", $"exetime"), pdf.schema))
+    (f2, b2, r2, counterRows, p2)
   }
 
   def emptyBudgets(spark: SparkSession): DataFrame =
@@ -224,6 +302,23 @@ object Crawler {
     resumed.foreach(_.counterTotals.foreach { case (p, m) => totals(p) = m })
 
     val stepSecs = Seq.newBuilder[Double]
+    // small-step broadcast gate (Superstep.Config.smallStep): an UPPER BOUND
+    // on the rows of state a superstep's broadcast-hinted build sides can
+    // contain — frontier rows (seeds + cumulative fresh) plus budget-state
+    // rows (bounded by cumulative scheduled: only consuming hosts get state
+    // rows). Tracked arithmetically, never a job; scale-adaptive: a crawl
+    // that outgrows the threshold switches itself back to shuffle plans.
+    val smallThreshold = spark.conf.getOption("spark.graft.smallStepBroadcastRows")
+      .map(_.toLong).getOrElse(100000L)
+    var stateRows: Long = resumed.map(_.frontierRows).filter(_ >= 0)
+      .getOrElse(seeds.size.toLong) +
+      totals.values.map(_.getOrElse("scheduled", 0L)).sum
+    // both branches run the superstep with LAZY counters
+    // (Config.collectCounters=false): the counters aggregate is fused into
+    // the step's one materialization action (the carry checkpoint / the
+    // store commit) instead of costing its own full round of driver
+    // planning + ~20 AQE stage-jobs per step (guide §1.2)
+    val lazyCfg = stepCfg.copy(collectCounters = false)
     while (!done && stepNo < cfg.maxSteps) {
       val tStep = System.nanoTime()
       val now = cfg.now0 + (stepNo + 1) * cfg.tick
@@ -232,7 +327,7 @@ object Crawler {
       // anti-join runs against the in-memory frontier keys
       val seenF = store.flatMap(_.seenFilter(spark))
       val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots, projects,
-        now, stepCfg, seenF)
+        now, lazyCfg.copy(smallStep = stateRows < smallThreshold), seenF)
 
       // first-writer-wins upsert by url_hash (REPLACE INTO + one-crawl-per-url,
       // resultdb.py:52-66): the superstep derives the delta from each task's
@@ -241,27 +336,49 @@ object Crawler {
       val newResultsDelta = r.firstResults
 
       stepNo += 1
+      // this step's per-project counter rows, recovered from whichever
+      // action materialized the step (carry checkpoint / store manifest)
+      var counterRows: Seq[org.apache.spark.sql.Row] = Nil
       store match {
         case Some(s) =>
           s.writeIncremental(spark, stepNo, now, r.upserts, r.freshKeys,
             r.budgets, newResultsDelta, r.counters)
           val snap = s.read(spark).get
           frontier = snap.frontier; budgets = snap.budgets; results = snap.results
+          // per-step deltas = committed totals minus the running totals —
+          // the store's commit already folded this step's counters into the
+          // manifest (collected concurrently with the write jobs), so no
+          // separate counters action runs
+          val cSchema = r.counters.schema
+          counterRows = snap.counterTotals.toSeq.sortBy(_._1).flatMap { case (p, after) =>
+            val before = totals.getOrElse(p, Map.empty[String, Long])
+            val delta = cSchema.fieldNames.map {
+              case "project" => p: Any
+              case n => (after.getOrElse(n, 0L) - before.getOrElse(n, 0L)): Any
+            }
+            if (delta.exists { case l: Long => l != 0L; case _ => false })
+              Some(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                delta, cSchema))
+            else None
+          }
         case None =>
-          // ONE fused materialization job for the three carry frames (see
-          // checkpointCarry) — three concurrent checkpoints still paid three
-          // plan + submission rounds; the tag-union pays one
-          val (f2, b2, r2) = checkpointCarry(r.frontier, r.budgets,
-            results.unionByName(newResultsDelta))
+          // ONE fused materialization job for the three carry frames AND the
+          // counters aggregate (see checkpointCarryFused) — the old shape
+          // paid a separate counters-collect action (a full plan + ~20 AQE
+          // stage waves) on top of the carry job every step
+          val (f2, b2, r2, rows, _) = checkpointCarryFused(r.frontier, r.budgets,
+            results.unionByName(newResultsDelta), Some(r.counters), None)
           frontier = f2; budgets = b2; results = r2
+          counterRows = rows
       }
-      counters += r.counters.withColumn("step", lit(stepNo))
+      val countersLocal = spark.createDataFrame(
+        java.util.Arrays.asList(counterRows: _*), r.counters.schema)
+      counters += countersLocal.withColumn("step", lit(stepNo))
 
-      totalScheduled += r.scheduled
-      totalFresh += r.fresh
       // per-project lifecycle: apply this step's status deltas; a project
       // whose ACTIVE set just drained is FINISHED
-      r.counterRows.foreach { row =>
+      var stepScheduled = 0L; var stepFresh = 0L; var stepDone = 0L; var stepFailed = 0L
+      counterRows.foreach { row =>
         val p = row.getAs[String]("project")
         val before = activeByProject(p)
         val after = before + row.getAs[Long]("new_tasks") -
@@ -269,11 +386,18 @@ object Crawler {
         activeByProject(p) = after
         if (before > 0 && after == 0) finished += p
         totals(p) = FrontierStore.foldCounterRowOne(totals.getOrElse(p, Map.empty), row)
+        stepScheduled += row.getAs[Long]("scheduled")
+        stepFresh += row.getAs[Long]("new_tasks")
+        stepDone += row.getAs[Long]("done_success")
+        stepFailed += row.getAs[Long]("failed_now")
       }
+      totalScheduled += stepScheduled
+      totalFresh += stepFresh
+      stateRows += stepFresh + stepScheduled
       r.unpersistAll()
       // terminate only when no ACTIVE task remains anywhere — scheduled==0
       // alone can be a backoff/politeness lull, not emptiness
-      activeRemaining += r.fresh - (r.doneSuccess + r.failed)
+      activeRemaining += stepFresh - (stepDone + stepFailed)
       done = activeRemaining == 0
       stepSecs += (System.nanoTime() - tStep) / 1e9
     }

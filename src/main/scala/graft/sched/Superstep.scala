@@ -41,7 +41,34 @@ object Superstep {
         * (TopKSelect) instead of a window sort — the scale path: O(n log k)
         * per task, map-side combining, hot hosts parallelize. Falls back to
         * the window when the function is not registered. */
-      topKAggSelection: Boolean = true)
+      topKAggSelection: Boolean = true,
+      /** The caller asserts the ENTIRE crawl state this step touches
+        * (frontier rows + budget state rows + step size) is small enough to
+        * broadcast (a few MB). The superstep then plan-time-broadcasts every
+        * state-bounded build side (budget state, selected ids, status
+        * updates, frontier key set, touched budgets) instead of letting the
+        * planner emit shuffle joins that AQE later converts: each planned
+        * shuffle is TWO materialized AQE stage-jobs (plus an AQE
+        * re-optimization round) even when the runtime converts the join to
+        * broadcast — measured ~25 stage-jobs per fixture superstep, ~40-90 ms
+        * of driver fixed cost each. Join strategy never changes results;
+        * only plan shape and stage count change. Crawl loops derive this
+        * per step from their exact arithmetic state counts (scale-adaptive:
+        * a growing crawl switches itself back to shuffle plans), so the
+        * politeness-small live regime — the deployment mode where per-step
+        * fixed cost dominates (VERDICT r05) — gets the small plan at any
+        * corpus scale. */
+      smallStep: Boolean = false,
+      /** Eagerly collect the step's counters inside [[run]] (one action that
+        * also materializes the persisted intermediates). `false` = the
+        * counters frame stays LAZY and `counterRows`/`scheduled`/`fresh`/
+        * `doneSuccess`/`failed` are NOT populated (0/Nil) — callers fuse the
+        * counters aggregate into their own materialization action instead
+        * (Crawler's carry checkpoint / FrontierStore's commit), because at
+        * small step sizes every extra action is a full round of driver
+        * planning + AQE stage scheduling (guide §1.2: per-step fixed cost is
+        * the bottleneck; measured ~20 stage-jobs per superstep action). */
+      collectCounters: Boolean = true)
 
   final case class StepResult(
       frontier: DataFrame,
@@ -299,9 +326,18 @@ object Superstep {
    * (frontier, budgets, projects, now, cfg) — a caller that pre-computes the
    * slice and then runs [[run]] sees the identical selection inside it.
    */
+  /** A/B kill-switch for the small-step broadcast plan (diagnosis +
+    * before/after plan dumps): SPARK_GRAFT_SMALL_STEP=0 disables the hints
+    * everywhere regardless of caller gating. */
+  private[graft] val smallStepEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_SMALL_STEP", "1") != "0"
+  private def smallOn(cfg: Config): Boolean = cfg.smallStep && smallStepEnabled
+
   def selectReady(spark: SparkSession, frontier: DataFrame, budgets: DataFrame,
       projects: DataFrame, now: Double, cfg: Config = Config()): Selection = {
     import spark.implicits._
+    // Config.smallStep: plan-time broadcast of state-bounded build sides
+    def maybeB(df: DataFrame): DataFrame = if (smallOn(cfg)) broadcast(df) else df
 
     // ---- W2: ready = exetime arrived (time queue folds into the filter).
     // Project lifecycle gate (scheduler.py:637-649 + F2): only tasks of
@@ -348,7 +384,7 @@ object Superstep {
 
     // ---- W1 (+W5): ranked selection under the budget
     val withBudget = ready
-      .join(budgeted, Seq("project", "host"), "left_outer")
+      .join(maybeB(budgeted), Seq("project", "host"), "left_outer")
       .withColumn("allowed",
         floor(coalesce($"tokens_avail", $"p_burst")))
       .drop("tokens_avail", "p_rate", "p_burst")
@@ -363,7 +399,7 @@ object Superstep {
           .agg(expr("topk_select(allowed, priority, exetime, url_hash)").as("sel"))
           .select($"project", explode($"sel").as("url_hash"))
         withBudget
-          .join(selIds, Seq("project", "url_hash"), "left_semi")
+          .join(maybeB(selIds), Seq("project", "url_hash"), "left_semi")
           .drop("allowed")
       } else {
         val hostW = Window.partitionBy($"project", $"host")
@@ -384,7 +420,7 @@ object Superstep {
             .agg(expr(s"topk_select(${cfg.perProjectLimit}, priority, exetime, url_hash)")
               .as("sel"))
             .select($"project", explode($"sel").as("url_hash"))
-          selected.join(capIds, Seq("project", "url_hash"), "left_semi")
+          selected.join(maybeB(capIds), Seq("project", "url_hash"), "left_semi")
         } else {
           val projW = Window.partitionBy($"project")
             .orderBy($"priority".desc, $"exetime".asc, $"url_hash".asc)
@@ -427,6 +463,8 @@ object Superstep {
         * deterministically equal */
       preselected: Option[DataFrame] = None): StepResult = {
     import spark.implicits._
+    // Config.smallStep: plan-time broadcast of state-bounded build sides
+    def maybeB(df: DataFrame): DataFrame = if (smallOn(cfg)) broadcast(df) else df
 
     val sel = selectReady(spark, frontier, budgets, projects, now, cfg)
     val selected = preselected.getOrElse(sel.selected)
@@ -548,7 +586,20 @@ object Superstep {
     val flaggedBase = (seen match {
       case None =>
         candidates.join(
-          frontier.select($"project", $"url_hash").withColumn("f_seen", lit(true)),
+          maybeB(frontier.select($"project", $"url_hash").withColumn("f_seen", lit(true))),
+          Seq("project", "url_hash"), "left_outer")
+      case Some(sf) if smallOn(cfg) && sf.deltaChain.map(_._2.size).sum <= 64 =>
+        // small-chain fast path: the whole committed key set spans at most
+        // a few dozen tiny delta files (known from the manifest lineage,
+        // zero IO) — probing blooms first would cost a collect job (the
+        // probed-buckets round-trip) to prune reads that are already
+        // broadcast-sized. Exact flag join over every bucket's keys: same
+        // truth ("key present in the seen index"), one action fewer per
+        // step. The probe path stays the scale path (long chains, big
+        // steps).
+        candidates.join(
+          maybeB(sf.keysFor(spark, 0 until sf.numBuckets)
+            .withColumn("f_seen", lit(true))),
           Seq("project", "url_hash"), "left_outer")
       case Some(sf) =>
         val skey = xxhash64($"project", $"url_hash")
@@ -564,7 +615,7 @@ object Superstep {
         val bucketsHit = maybe.select($"sbucket").distinct()
           .collect().map(_.getInt(0)).toIndexedSeq
         val exact = maybe.join(
-          sf.keysFor(spark, bucketsHit).withColumn("f_seen", lit(true)),
+          maybeB(sf.keysFor(spark, bucketsHit).withColumn("f_seen", lit(true))),
           Seq("project", "url_hash"), "left_outer")
         definitelyNew.unionByName(exact).drop("sbucket", "maybe_seen")
     })
@@ -641,7 +692,7 @@ object Superstep {
 
     // ---- frontier merge: apply updates, append fresh
     val merged = frontier.join(
-        updates.withColumnRenamed("fetch_ok", "u_fetch_ok"),
+        maybeB(updates.withColumnRenamed("fetch_ok", "u_fetch_ok")),
         Seq("project", "url_hash"), "left_outer")
       .select(
         $"project", $"url_hash", $"url", $"host",
@@ -669,12 +720,12 @@ object Superstep {
     // and persisted — aggregating it avoids recomputing the selection chain
     val consumed = fetched.groupBy($"project", $"host").agg(count(lit(1)).as("consumed"))
     val touched = consumed
-      .join(budgeted, Seq("project", "host"), "left_outer")
+      .join(maybeB(budgeted), Seq("project", "host"), "left_outer")
       .join(projRB, Seq("project"), "left_outer")
       .select($"project", $"host",
         (coalesce($"tokens_avail", $"p_burst", lit(cfg.defaultBurst)) - $"consumed").as("tokens"),
         RuntimeConst.stepConst(now).as("last_update"))
-    val nextBudgets = budgets.join(touched.select($"project", $"host"),
+    val nextBudgets = budgets.join(maybeB(touched.select($"project", $"host")),
         Seq("project", "host"), "left_anti")
       .unionByName(touched)
 
@@ -749,24 +800,32 @@ object Superstep {
       .withColumn("deduped", $"candidates" - $"new_tasks")
 
     // ONE action materializes every persisted intermediate and yields all
-    // step totals (instead of separate count() jobs per metric).
-    val counterRows = countersDf.collect()
-    // LocalRelation, not parallelize(...,1): every downstream consumer of
-    // the counters frame (store manifest fold, bench step accounting)
-    // collects it again — a LocalRelation collect is driver-only planning,
-    // a parallelized RDD collect is a real 1-task job per step
-    val counters = spark.createDataFrame(
-      java.util.Arrays.asList(counterRows: _*), countersDf.schema)
-    val scheduledCnt = counterRows.map(_.getAs[Long]("scheduled")).sum
-    val freshCnt = counterRows.map(_.getAs[Long]("new_tasks")).sum
-    val doneCnt = counterRows.map(_.getAs[Long]("done_success")).sum
-    val failedCnt = counterRows.map(_.getAs[Long]("failed_now")).sum
+    // step totals (instead of separate count() jobs per metric). When the
+    // caller opts out (collectCounters=false) the counters frame stays lazy
+    // and the caller's own materialization action computes it.
+    if (cfg.collectCounters) {
+      val counterRows = countersDf.collect()
+      // LocalRelation, not parallelize(...,1): every downstream consumer of
+      // the counters frame (store manifest fold, bench step accounting)
+      // collects it again — a LocalRelation collect is driver-only planning,
+      // a parallelized RDD collect is a real 1-task job per step
+      val counters = spark.createDataFrame(
+        java.util.Arrays.asList(counterRows: _*), countersDf.schema)
+      val scheduledCnt = counterRows.map(_.getAs[Long]("scheduled")).sum
+      val freshCnt = counterRows.map(_.getAs[Long]("new_tasks")).sum
+      val doneCnt = counterRows.map(_.getAs[Long]("done_success")).sum
+      val failedCnt = counterRows.map(_.getAs[Long]("failed_now")).sum
 
-    StepResult(merged, nextBudgets, newResults, firstResults, counters, scheduledCnt, freshCnt,
-      doneSuccess = doneCnt, failed = failedCnt,
-      counterRows = counterRows.toIndexedSeq,
-      upserts = updatedFull.unionByName(fresh.select(frontierCols.map(col): _*)),
-      freshKeys = fresh.select($"project", $"url_hash"),
-      cached = Seq(fetched, flagged) ++ stepCached.result())
+      StepResult(merged, nextBudgets, newResults, firstResults, counters, scheduledCnt, freshCnt,
+        doneSuccess = doneCnt, failed = failedCnt,
+        counterRows = counterRows.toIndexedSeq,
+        upserts = updatedFull.unionByName(fresh.select(frontierCols.map(col): _*)),
+        freshKeys = fresh.select($"project", $"url_hash"),
+        cached = Seq(fetched, flagged) ++ stepCached.result())
+    } else
+      StepResult(merged, nextBudgets, newResults, firstResults, countersDf, 0L, 0L,
+        upserts = updatedFull.unionByName(fresh.select(frontierCols.map(col): _*)),
+        freshKeys = fresh.select($"project", $"url_hash"),
+        cached = Seq(fetched, flagged) ++ stepCached.result())
   }
 }

@@ -61,7 +61,8 @@ object StreamingCrawl {
         var seedUpserts = frontier.limit(0)
         var seedFreshKeys = frontier.select(keys.map(functions.col): _*).limit(0)
         var extraSeen: Option[DataFrame] = None
-        if (!batch.isEmpty) {
+        val batchEmpty = batch.isEmpty
+        if (!batchEmpty) {
           val seedRows = Crawler.seedFrontierDf(spark,
             batch.selectExpr("project", "url as raw_url"), now).localCheckpoint()
           val incKeys = seedRows.select(keys.map(functions.col): _*)
@@ -81,16 +82,33 @@ object StreamingCrawl {
         // J1 probes the snapshot's bucketed bloom side-file index (+ the
         // in-batch seed overlay) — never an exact join against the full
         // frontier key set per micro-batch
+        // LAZY counters: the aggregate collects on the store commit's
+        // concurrent future (FrontierStore.writeIncremental) instead of its
+        // own serial action per micro-batch. Small-step broadcast gate from
+        // the snapshot's lineage row count (every hinted build side is
+        // bounded by frontier+budget state, not by the seed batch size).
+        val smallThreshold = spark.conf.getOption("spark.graft.smallStepBroadcastRows")
+          .map(_.toLong).getOrElse(100000L)
+        val stateRows = snap.map(_.frontierRows).filter(_ >= 0).getOrElse(0L) +
+          snap.map(_.counterTotals.values.map(_.getOrElse("scheduled", 0L)).sum)
+            .getOrElse(0L)
         val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
-          projects, now, cfg, store.seenFilter(spark), extraSeen)
+          projects, now, cfg.copy(collectCounters = false,
+            smallStep = stateRows < smallThreshold),
+          store.seenFilter(spark), extraSeen)
         // first-writer-wins delta from each task's crawled_ok history —
         // O(batch), no anti-join against the snapshot's cumulative results
         val newResultsDelta = r.firstResults
         // superstep upserts win over seed upserts when the same task was
-        // both merged and selected this tick
-        val upserts = r.upserts.unionByName(
-          seedUpserts.join(r.upserts.select(keys.map(functions.col): _*), keys, "left_anti"))
-        val freshKeys = r.freshKeys.unionByName(seedFreshKeys)
+        // both merged and selected this tick. Empty batches (pure superstep
+        // ticks) skip the seed-union joins outright — an anti-join against a
+        // limit(0) side still plans and executes two exchanges per commit.
+        val upserts =
+          if (batchEmpty) r.upserts
+          else r.upserts.unionByName(
+            seedUpserts.join(r.upserts.select(keys.map(functions.col): _*), keys, "left_anti"))
+        val freshKeys =
+          if (batchEmpty) r.freshKeys else r.freshKeys.unionByName(seedFreshKeys)
         store.writeIncremental(spark, step + 1, now, upserts, freshKeys,
           r.budgets, newResultsDelta, r.counters)
         r.unpersistAll()
