@@ -91,7 +91,16 @@ object SparkEntry {
   }
   private val c1Memo =
     new java.util.concurrent.ConcurrentHashMap[Int, (RowsAndSchema, RowsAndSchema, RowsAndSchema)]()
-  private def c1SharedCrawl(s: SparkSession): (RowsAndSchema, RowsAndSchema, RowsAndSchema) =
+  /** The memo's OWNING query (c1) must pass `fresh = true`: it re-executes
+    * the crawl on EVERY invocation and refreshes the memo. Round-6's speed
+    * work pushed c1/c3 into the bench's 1-8 s best-of re-measure window,
+    * where a memo-served second run would report near-zero — a number that
+    * reads as result caching, not crawl time. Owners always pay the crawl;
+    * only the companion readers of the SAME run's other outputs (c4, and
+    * x13's baseline frontier) are memo-served, as in rounds 3-5. */
+  private def c1SharedCrawl(s: SparkSession, fresh: Boolean = false)
+      : (RowsAndSchema, RowsAndSchema, RowsAndSchema) = {
+    if (fresh) c1Memo.remove(System.identityHashCode(s))
     c1Memo.computeIfAbsent(System.identityHashCode(s), _ => withFixtureConf(s) {
       Udfs.register(s)
       import s.implicits._
@@ -109,6 +118,7 @@ object SparkEntry {
       ((f.collect().toSeq, f.schema), (r.collect().toSeq, r.schema),
         (ff.collect().toSeq, ff.schema))
     })
+  }
 
   // ---- c3/c7/w3 share ONE store-backed crawl (1 superstep + one RESUME
   // covering steps 2-3, with kill debris injected at the restart boundary):
@@ -122,8 +132,11 @@ object SparkEntry {
   // (W3: the processing timeout IS the snapshot boundary).
   private val c3Memo = new java.util.concurrent.ConcurrentHashMap[
     Int, (RowsAndSchema, Map[String, Long], Seq[(Long, Int, Long)])]()
-  private def c3SharedStoreCrawl(
-      s: SparkSession): (RowsAndSchema, Map[String, Long], Seq[(Long, Int, Long)]) =
+  /** `fresh` contract as in [[c1SharedCrawl]]: the owning query (c3)
+    * re-executes the store crawl every invocation; c7/w3 read the memo. */
+  private def c3SharedStoreCrawl(s: SparkSession, fresh: Boolean = false)
+      : (RowsAndSchema, Map[String, Long], Seq[(Long, Int, Long)]) = {
+    if (fresh) c3Memo.remove(System.identityHashCode(s))
     c3Memo.computeIfAbsent(System.identityHashCode(s), _ => withFixtureConf(s) {
       Udfs.register(s)
       import s.implicits._
@@ -174,6 +187,7 @@ object SparkEntry {
       deleteDir(rootDir) // everything is collected; the scratch store can go
       out
     })
+  }
 
   private val c6Memo =
     new java.util.concurrent.ConcurrentHashMap[Int, RowsAndSchema]()
@@ -861,7 +875,7 @@ object SparkEntry {
       // canonical url IS the row identity (url_hash = xxhash64(url)); the
       // oracle recomputes the whole 3-superstep BFS from the closed-form
       // PageGen graph, so the output keeps to oracle-checkable columns
-      val (f, _, _) = c1SharedCrawl(s)
+      val (f, _, _) = c1SharedCrawl(s, fresh = true)
       s.createDataFrame(new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(f._1).asJava), f._2)
     }),
@@ -872,7 +886,7 @@ object SparkEntry {
       // seen-index (J1 partition-local probe + pruned exact check), the
       // resume path, and the final snapshot read all sit on the path; the
       // output must still equal the closed-form BFS oracle
-      val (f, _, _) = c3SharedStoreCrawl(s)
+      val (f, _, _) = c3SharedStoreCrawl(s, fresh = true)
       s.createDataFrame(new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(f._1).asJava), f._2)
     }),
@@ -1143,6 +1157,10 @@ object SparkEntry {
       // the batch crawl (c1) and the store-backed crawl (c3) match.
       // Memoized like c1/c3: one streaming run per session, scratch store
       // deleted once the 26 graded rows are collected.
+      // always-fresh (the memo-owner contract of c1SharedCrawl): every c6
+      // invocation re-executes the streaming crawl, so a bench re-measure
+      // can never read a memo where a crawl time should be
+      c6Memo.remove(System.identityHashCode(s))
       val memo = c6Memo.computeIfAbsent(System.identityHashCode(s), _ => withFixtureConf(s) {
         Udfs.register(s)
         import s.implicits._

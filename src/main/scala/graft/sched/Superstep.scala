@@ -104,7 +104,14 @@ object Superstep {
       freshKeys: DataFrame = null,
       /** intermediate persisted frames — caller unpersists after materializing */
       cached: Seq[DataFrame] = Nil) {
-    def unpersistAll(): Unit = cached.foreach(_.unpersist(false))
+    def unpersistAll(): Unit = cached.foreach { df =>
+      // lazily-localCheckpointed frames persist their RDD directly (no
+      // CacheManager entry) — release the underlying RDD, not the Dataset
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => df.unpersist(false)
+      }
+    }
   }
 
   /** Columns every frontier DataFrame carries (graft.model.Task flattened).
@@ -518,6 +525,11 @@ object Superstep {
         when($"is_data_url", expr("data_url_decode(url)"))
           .when($"fetch_ok" && !$"not_modified", expr("extract_text(html)")))
       .drop("robots_txt", "html")
+      // persist, NOT a plan-truncating lazy localCheckpoint: a checkpointed
+      // LogicalRDD keeps its source plan's attribute ids, which still
+      // appear in sibling frames (budgeted, frontier) — downstream joins
+      // then hit "conflicting references" the analyzer cannot deduplicate
+      // (measured: INTERNAL_ERROR in the streaming batch path)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- P1/P2/P4/P6: extraction + follow construction. The native
