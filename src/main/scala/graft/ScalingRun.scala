@@ -75,13 +75,17 @@ object ScalingRun {
     * carries (doc_id, band) only). Returns n (rows priced). */
   def minhashJob(spark: SparkSession, n: Long): Long = {
     graft.Udfs.register(spark)
+    // 20 pseudo-random words per doc from a 50k vocabulary: shingle sets
+    // are effectively unique doc-to-doc, so band keys collide only for the
+    // planted duplicates (every 1000th doc reuses its predecessor's seed).
+    // A near-constant template with one varying token would share ~95% of
+    // shingles corpus-wide and blow the band join up quadratically
+    // (measured: the first attempt ran 19+ minutes at p=8).
     val docs = spark.range(n).selectExpr(
       "id as doc_id",
-      // every 1000th doc duplicates its predecessor's text (a planted
-      // near-dup pair); all others are unique
-      "concat('alpha beta gamma delta epsilon zeta eta theta iota kappa ', " +
-        "cast(id - id % 1000 + (case when id % 1000 = 0 and id > 0 then -1 else id % 1000 end) as string), " +
-        "' lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega') as text")
+      "id - id % 1000 + (case when id % 1000 = 0 and id > 0 then -1 else id % 1000 end) as seed")
+      .selectExpr("doc_id",
+        "concat_ws(' ', transform(sequence(0, 19), j -> concat('w', cast(pmod(xxhash64(seed, j), 50000) as string)))) as text")
     val bands = docs.selectExpr("doc_id",
       "explode(minhash_bands(minhash_sig(text, 3, 64), 16)) as band")
     val pairs = bands.as("a").join(bands.as("b"),
@@ -100,7 +104,7 @@ object ScalingRun {
     graft.Udfs.register(spark)
     import org.apache.spark.sql.functions._
     val e = spark.range(n).selectExpr("id as vec_id",
-      "transform(sequence(0, 31), j -> cast(pmod(xxhash64(id, j), 1000) as float) / 500.0 - 1.0) as embedding")
+      "transform(sequence(0, 31), j -> cast(pmod(xxhash64(id, j), 1000) / 500.0 - 1.0 as float)) as embedding")
     val keyed = e.selectExpr("vec_id", "embedding", "lsh_key(embedding, 8, 42) as k")
     val q = keyed.where("vec_id < 64")
       .selectExpr("vec_id as qid", "embedding as qe", "explode(lsh_probes(k, 8)) as k")

@@ -112,9 +112,12 @@ object LiveCrawler {
     // live mode IS the politeness-small regime this plan shape targets
     val smallThreshold = spark.conf.getOption("spark.graft.smallStepBroadcastRows")
       .map(_.toLong).getOrElse(100000L)
-    var stateRows: Long = resumed.map(_.frontierRows).filter(_ >= 0)
-      .getOrElse(seeds.size.toLong) +
-      storeTotals.values.map(_.getOrElse("scheduled", 0L)).sum
+    // unknown resumed row count (-1) disables the small plan (see Crawler)
+    var stateRows: Long = (resumed match {
+      case Some(s) if s.frontierRows >= 0 => s.frontierRows
+      case Some(_) => Long.MaxValue / 2
+      case None => seeds.size.toLong
+    }) + storeTotals.values.map(_.getOrElse("scheduled", 0L)).sum
 
     while (step < maxSteps && !done) {
       step += 1

@@ -310,9 +310,14 @@ object Crawler {
     // that outgrows the threshold switches itself back to shuffle plans.
     val smallThreshold = spark.conf.getOption("spark.graft.smallStepBroadcastRows")
       .map(_.toLong).getOrElse(100000L)
-    var stateRows: Long = resumed.map(_.frontierRows).filter(_ >= 0)
-      .getOrElse(seeds.size.toLong) +
-      totals.values.map(_.getOrElse("scheduled", 0L)).sum
+    // a resumed snapshot with UNKNOWN row count (-1, e.g. a SnapshotStore
+    // implementation without lineage counts) must disable the small plan,
+    // not enable it
+    var stateRows: Long = (resumed match {
+      case Some(s) if s.frontierRows >= 0 => s.frontierRows
+      case Some(_) => Long.MaxValue / 2
+      case None => seeds.size.toLong
+    }) + totals.values.map(_.getOrElse("scheduled", 0L)).sum
     // both branches run the superstep with LAZY counters
     // (Config.collectCounters=false): the counters aggregate is fused into
     // the step's one materialization action (the carry checkpoint / the

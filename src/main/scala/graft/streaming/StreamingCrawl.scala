@@ -89,9 +89,13 @@ object StreamingCrawl {
         // bounded by frontier+budget state, not by the seed batch size).
         val smallThreshold = spark.conf.getOption("spark.graft.smallStepBroadcastRows")
           .map(_.toLong).getOrElse(100000L)
-        val stateRows = snap.map(_.frontierRows).filter(_ >= 0).getOrElse(0L) +
-          snap.map(_.counterTotals.values.map(_.getOrElse("scheduled", 0L)).sum)
-            .getOrElse(0L)
+        // unknown row count (-1) disables the small plan (see Crawler)
+        val stateRows = (snap match {
+          case Some(s) if s.frontierRows >= 0 => s.frontierRows
+          case Some(_) => Long.MaxValue / 2
+          case None => 0L
+        }) + snap.map(_.counterTotals.values.map(_.getOrElse("scheduled", 0L)).sum)
+          .getOrElse(0L)
         val r = Superstep.run(spark, frontier, budgets, pagesIdx, robots,
           projects, now, cfg.copy(collectCounters = false,
             smallStep = stateRows < smallThreshold),
