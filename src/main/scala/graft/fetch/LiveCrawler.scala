@@ -142,15 +142,16 @@ object LiveCrawler {
       // its robots.txt probed over https ("https" > "http" lexicographically)
       // — the hardened endpoint is the one that must not be cached allow-all
       // if the plaintext probe would be refused
-      val hostSchemes: Map[String, String] = selected
+      val hostSchemeSets: Map[String, Seq[String]] = selected
         .where($"host".isNotNull && $"host" =!= "")
         .groupBy($"host")
-        .agg(max(lower(expr("parse_url(url, 'PROTOCOL')"))).as("scheme"))
+        .agg(collect_set(lower(expr("parse_url(url, 'PROTOCOL')"))).as("schemes"))
         .collect()
         .map(r => r.getString(0) ->
-          (Option(r.getString(1)).filter(s => s == "http" || s == "https")
-            .getOrElse("http")))
+          r.getSeq[String](1).filter(s => s == "http" || s == "https").sorted)
         .toMap
+      val hostSchemes: Map[String, String] =
+        hostSchemeSets.map { case (h, ss) => h -> ss.lastOption.getOrElse("http") }
       val hosts = hostSchemes.keys.toSeq.sorted
       if (cfg.respectRobots) {
         val stale = hosts.filter(h =>
@@ -162,7 +163,30 @@ object LiveCrawler {
             .select("url", "html").collect()
             .map(r => graft.url.UrlCanon.hostOf(r.getAs[String]("url")) ->
               r.getAs[Array[Byte]]("html")).toMap
-          stale.foreach(h => robotsCache(h) = (now, captured.getOrElse(h, null)))
+          // A host with BOTH schemes in the slice whose chosen-scheme probe
+          // (https, the hardened endpoint) failed must not cache allow-all
+          // while the other scheme actually serves rules (ADVICE r05; RFC
+          // 9309 scopes robots per scheme+authority): re-probe the
+          // alternate scheme for exactly those hosts. Single-scheme hosts
+          // keep the reference's error branch (failure -> allow-all for the
+          // TTL, tornado_fetcher.py:303-306) with no extra traffic.
+          val retry = stale.filter(h => captured.getOrElse(h, null) == null &&
+            hostSchemeSets.getOrElse(h, Nil).size > 1)
+          val altCaptured: Map[String, Array[Byte]] =
+            if (retry.isEmpty) Map.empty
+            else {
+              robotsFetches += retry.size
+              fetch(spark, retry.map { h =>
+                  val alt = if (hostSchemes(h) == "https") "http" else "https"
+                  s"$alt://$h/robots.txt"
+                }.toDF("url"))
+                .select("url", "html").collect()
+                .map(r => graft.url.UrlCanon.hostOf(r.getAs[String]("url")) ->
+                  r.getAs[Array[Byte]]("html")).toMap
+            }
+          stale.foreach(h => robotsCache(h) =
+            (now, Option(captured.getOrElse(h, null))
+              .getOrElse(altCaptured.getOrElse(h, null))))
         }
       }
 

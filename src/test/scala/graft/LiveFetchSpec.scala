@@ -235,6 +235,39 @@ class LiveFetchSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("LiveCrawler: https robots probe failure falls back to http rules for a dual-scheme host (no allow-all masking)") {
+    // ADVICE r05: a host with BOTH http and https tasks probes robots over
+    // https (max); if that endpoint serves no robots.txt, the http rules —
+    // which DO disallow /private — must still apply instead of caching
+    // allow-all for the whole host.
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pages = Map(
+      // NO https robots.txt entry -> the https probe fails
+      "http://dual.example/robots.txt" ->
+        "User-agent: *\nDisallow: /private\n".getBytes("UTF-8"),
+      "https://dual.example/start" ->
+        """<html><body><a href="/leaf">l</a> <a href="/private">p</a></body></html>"""
+          .getBytes("UTF-8"),
+      "http://dual.example/seed2" -> "<html><body>s2</body></html>".getBytes("UTF-8"),
+      "https://dual.example/leaf" -> "<html><body>leaf</body></html>".getBytes("UTF-8"))
+    val projects = Seq(("p1", 1000.0, 1000.0)).toDF("name", "rate", "burst")
+    val run = graft.fetch.LiveCrawler.run(spark, projects,
+      Seq("p1" -> "https://dual.example/start", "p1" -> "http://dual.example/seed2"),
+      maxSteps = 3, fetch = fakeFetch(pages, log))
+    val reqs = log.toArray.map(_.toString).toSeq
+    assert(reqs.contains("https://dual.example/robots.txt"),
+      s"https probe not issued first: $reqs")
+    assert(reqs.contains("http://dual.example/robots.txt"),
+      s"no http fallback probe after the https miss: $reqs")
+    // the http rules were applied: /private never requested
+    assert(!reqs.exists(_.endsWith("/private")), s"disallowed GET issued: $reqs")
+    assert(run.frontier.where($"url" === "https://dual.example/leaf" && $"status" === 2)
+      .count() == 1)
+    // /private stays unfetched in the frontier (robots denial -> retry ladder)
+    assert(run.frontier.where($"url" === "https://dual.example/private" && $"status" === 2)
+      .count() == 0)
+  }
+
   test("LiveCrawler: STOP-ed projects and drained resumes don't burn supersteps (RUNNING gate + initial done-check)") {
     val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val stopped = Seq(("p1", 1000.0, 1000.0, "STOP")).toDF("name", "rate", "burst", "status")
